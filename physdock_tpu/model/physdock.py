@@ -1,0 +1,117 @@
+"""The PhysDock model: conditioning trunk + AF3DiT denoiser + distogram head.
+
+Re-implementation of reference PhysDock/models/model.py:56-115 as a flax
+module with three entry points:
+
+  * `__call__(batch, key)`   — training forward: run conditioning once,
+    EDM-noise `num_augmentation_sample` augmented copies of x_gt, denoise
+    all, return {x_denoised, x_hat, t_hat, p_distogram} (model.py:99-115).
+  * `conditioning(batch)`    — (a, ap, s, z), run once per system.
+  * `denoise(batch, x_hat, t_hat, a, ap, s, z)` — one denoiser call; the
+    EDM reverse loop in model/diffusion.py scans this.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from physdock_tpu.config import ModelConfig
+from physdock_tpu.nn.conditioning import DiffusionConditioning
+from physdock_tpu.nn.primitives import Linear
+from physdock_tpu.nn.transformers import AF3DiT
+from physdock_tpu.utils.geometry import centre_random_augmentation
+
+Batch = Dict[str, jnp.ndarray]
+
+
+class PhysDock(nn.Module):
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        c = self.cfg
+        self.diffusion_conditioning = DiffusionConditioning(
+            ref_dim=c.ref_dim,
+            target_dim=c.target_dim,
+            msa_dim=c.msa_dim,
+            c_a=c.c_a,
+            c_ap=c.c_ap,
+            c_s=c.c_s,
+            c_m=c.c_m,
+            c_z=c.c_z,
+            no_blocks_atom=c.no_blocks_atom,
+            no_blocks_evoformer=c.no_blocks_evoformer,
+            no_blocks_pairformer=c.no_blocks_pairformer,
+            no_blocks_template=c.no_blocks_template,
+            inf=c.inf,
+            eps=c.eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+        self.dit = AF3DiT(
+            c_a=c.c_a,
+            c_s=c.c_s,
+            no_blocks_atom=c.no_blocks_atom,
+            no_blocks_dit=c.no_blocks_dit,
+            sigma_data=c.sigma_data,
+            inf=c.inf,
+            eps=c.eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+        self.linear_distogram = Linear(
+            c.no_distogram_bins, init="final", dtype=self.dtype
+        )
+
+    def conditioning(self, batch: Batch):
+        return self.diffusion_conditioning(batch)
+
+    def denoise(self, batch: Batch, x_hat, t_hat, a, ap, s, z):
+        return self.dit(
+            x_hat,
+            t_hat,
+            a,
+            ap,
+            s,
+            z,
+            batch["ap_mask"],
+            batch["z_mask"],
+            batch["token_id_to_chunk_sizes"],
+            batch["atom_id_to_token_id"],
+        )
+
+    def distogram(self, z):
+        p = self.linear_distogram(z).astype(jnp.float32)
+        return p + jnp.swapaxes(p, -2, -3)
+
+    def augmentation_diffuse(self, batch: Batch, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """EDM training noising: sigma ~ exp(N(-1.2, 1.5^2)) * sigma_data over
+        `num_augmentation_sample` SE(3)-augmented copies of x_gt
+        (model.py:87-97)."""
+        n = self.cfg.num_augmentation_sample
+        x_gt = batch["x_gt"]
+        k_t, k_n, k_aug = jax.random.split(key, 3)
+        t_hat = (
+            jnp.exp(jax.random.normal(k_t, (n,), dtype=jnp.float32) * 1.5 - 1.2)
+            * self.cfg.sigma_data
+        )
+        x = jnp.repeat(x_gt[None], n, axis=0)
+        x = x + jax.random.normal(k_n, x.shape, x.dtype) * t_hat[:, None, None]
+        x_hat = centre_random_augmentation(k_aug, x, batch["x_exists"])
+        return jax.lax.stop_gradient(x_hat), jax.lax.stop_gradient(t_hat)
+
+    def __call__(self, batch: Batch, key) -> Dict[str, jnp.ndarray]:
+        a, ap, s, z = self.diffusion_conditioning(batch)
+        x_hat, t_hat = self.augmentation_diffuse(batch, key)
+        x_denoised = self.denoise(batch, x_hat, t_hat, a, ap, s, z)
+        return {
+            "x_denoised": x_denoised,
+            "x_hat": x_hat,
+            "t_hat": t_hat,
+            "p_distogram": self.distogram(z),
+        }

@@ -1,0 +1,388 @@
+"""Transformer stacks: AtomTransformer, Triangleformer, Evoformer, Pairformer,
+DiT, and the AF3DiT diffusion denoiser.
+
+Re-designs of reference PhysDock/models/layers/transformers.py for XLA:
+every stack is a `nn.scan` over one block's (stacked) parameters with
+`nn.remat` applied to the block body — one compilation of the block instead
+of N, and rematerialized activations in the backward pass (replacing the
+reference's per-block `torch.utils.checkpoint` at transformers.py:35,68,
+108,145,174).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from physdock_tpu.nn.attentions import (
+    AttentionWithPairBias,
+    DiTAttention,
+    MSAColumnAttention,
+    MSARowAttentionWithPairBias,
+    TriangleAttention,
+    TriangleUpdate,
+)
+from physdock_tpu.nn.primitives import (
+    DiTTransition,
+    LayerNorm,
+    Linear,
+    TimestepEmbeddings,
+    Transition,
+)
+
+Dtype = Any
+
+
+def _scan_stack(block_cls, length: int, remat: bool = True, **block_kw):
+    """Stack `length` copies of a carry->carry block as a lax.scan."""
+    cls = nn.remat(block_cls, prevent_cse=False) if remat else block_cls
+    return nn.scan(
+        cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=length,
+        in_axes=nn.broadcast,
+        out_axes=0,
+        metadata_params={nn.meta.PARTITION_NAME: None},
+    )(**block_kw)
+
+
+# ------------------------------- Atom stack --------------------------------
+
+
+class AtomBlock(nn.Module):
+    """AttentionWithPairBias + Transition over the full atom pair grid
+    (transformers.py:13-22).  Full N_atom x N_atom attention — no AF3-style
+    32x128 local windows, matching the reference."""
+
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, a, ap, ap_mask):
+        a = a + AttentionWithPairBias(
+            inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl,
+            name="attention",
+        )(a, ap, ap_mask)
+        a = a + Transition(eps=self.eps, dtype=self.dtype, name="transition")(a)
+        return a, None
+
+
+class AtomTransformer(nn.Module):
+    no_blocks: int
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, a, ap, ap_mask):
+        stack = _scan_stack(
+            AtomBlock,
+            self.no_blocks,
+            inf=self.inf,
+            eps=self.eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="blocks",
+        )
+        a, _ = stack(a, ap, ap_mask)
+        return a
+
+
+# ----------------------------- Triangle stack ------------------------------
+
+
+class TriangleBlock(nn.Module):
+    """tri-mult row/col + tri-attn row/col + transition (transformers.py:39-56)."""
+
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, z, z_mask, pad_mask=None):
+        kw = dict(eps=self.eps, dtype=self.dtype)
+        z = z + TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask)
+        z = z + TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask)
+        akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
+        z = z + TriangleAttention(name="triangle_row_attention", **akw)(z, z_mask, pad_mask)
+        z = z + TriangleAttention(transpose=True, name="triangle_col_attention", **akw)(z, z_mask, pad_mask)
+        z = z + Transition(eps=self.eps, dtype=self.dtype, name="pair_transition")(z)
+        return z, None
+
+
+class Triangleformer(nn.Module):
+    no_blocks: int
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, z, z_mask, pad_mask=None):
+        stack = _scan_stack(
+            TriangleBlock,
+            self.no_blocks,
+            inf=self.inf,
+            eps=self.eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="blocks",
+        )
+        z, _ = stack(z, z_mask, pad_mask)
+        return z
+
+
+# ----------------------------- Evoformer stack -----------------------------
+
+
+class EvoformerBlock(nn.Module):
+    """MSA row/col attention + transition + OPM + triangle set
+    (transformers.py:72-96)."""
+
+    c_z: int
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, carry, z_mask):
+        from physdock_tpu.nn.primitives import OuterProductMean
+
+        m, z = carry
+        akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
+        kw = dict(eps=self.eps, dtype=self.dtype)
+        m = m + MSARowAttentionWithPairBias(name="msa_row_attention", **akw)(m, z, z_mask)
+        m = m + MSAColumnAttention(name="msa_col_attention", **akw)(m)
+        m = m + Transition(name="msa_transition", **kw)(m)
+        z = z + OuterProductMean(c_z=self.c_z, name="opm", **kw)(m)
+        z = z + TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask)
+        z = z + TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask)
+        z = z + TriangleAttention(name="triangle_row_attention", **akw)(z, z_mask)
+        z = z + TriangleAttention(transpose=True, name="triangle_col_attention", **akw)(z, z_mask)
+        z = z + Transition(name="pair_transition", **kw)(z)
+        return (m, z), None
+
+
+class Evoformer(nn.Module):
+    c_z: int
+    no_blocks: int = 4
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, m, z, z_mask):
+        stack = _scan_stack(
+            EvoformerBlock,
+            self.no_blocks,
+            c_z=self.c_z,
+            inf=self.inf,
+            eps=self.eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="blocks",
+        )
+        (m, z), _ = stack((m, z), z_mask)
+        return m, z
+
+
+# ----------------------------- Pairformer stack ----------------------------
+
+
+class PairFormerBlock(nn.Module):
+    """Triangle set + single attention with pair bias (transformers.py:112-136)."""
+
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, carry, z_mask):
+        s, z = carry
+        akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
+        kw = dict(eps=self.eps, dtype=self.dtype)
+        z = z + TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask)
+        z = z + TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask)
+        z = z + TriangleAttention(name="triangle_row_attention", **akw)(z, z_mask)
+        z = z + TriangleAttention(transpose=True, name="triangle_col_attention", **akw)(z, z_mask)
+        z = z + Transition(name="pair_transition", **kw)(z)
+        s = s + AttentionWithPairBias(name="attention", **akw)(s, z, z_mask)
+        s = s + Transition(name="transition", **kw)(s)
+        return (s, z), None
+
+
+class Pairformer(nn.Module):
+    no_blocks: int = 24
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, s, z, z_mask):
+        stack = _scan_stack(
+            PairFormerBlock,
+            self.no_blocks,
+            inf=self.inf,
+            eps=self.eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="blocks",
+        )
+        (s, z), _ = stack((s, z), z_mask)
+        return s, z
+
+
+# -------------------------------- DiT stack --------------------------------
+
+
+class DiTBlock(nn.Module):
+    """AdaLN-Zero DiT block (transformers.py:149-162)."""
+
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, bs, z, t, z_mask, beta):
+        bs = bs + DiTAttention(
+            inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl,
+            name="attention",
+        )(bs, z, t, z_mask, beta)
+        bs = bs + DiTTransition(eps=self.eps, dtype=self.dtype, name="transition")(bs, t)
+        return bs, None
+
+
+class DiT(nn.Module):
+    no_blocks: int = 12
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, bs, z, t, z_mask, beta=None):
+        stack = _scan_stack(
+            DiTBlock,
+            self.no_blocks,
+            inf=self.inf,
+            eps=self.eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="blocks",
+        )
+        bs, _ = stack(bs, z, t, z_mask, beta)
+        return bs
+
+
+# --------------------------------- AF3DiT ----------------------------------
+
+
+def segment_mean_pool(x, token_id_to_chunk_sizes, eps: float = 1e-3):
+    """Mean-pool atom features into token features via the cumsum-diff trick
+    (transformers.py:205-212; also TokenEmbedder.downscale).
+
+    x: [..., A, C]; token_id_to_chunk_sizes: [T] int (0 for padded tokens).
+    Padded tokens produce zeros (diff of equal cumsums).
+    """
+    x_cumsum = jnp.cumsum(x, axis=-2)
+    inds = jnp.cumsum(token_id_to_chunk_sizes, axis=-1) - 1
+    value = jnp.take(x_cumsum, inds, axis=-2)
+    first = value[..., :1, :]
+    x_tok = jnp.concatenate([first, jnp.diff(value, axis=-2)], axis=-2)
+    sizes = token_id_to_chunk_sizes.astype(x.dtype)
+    return x_tok / (sizes[..., None] + eps)
+
+
+class AF3DiT(nn.Module):
+    """EDM-preconditioned atom->token->atom DiT denoiser
+    (transformers.py:178-262).
+
+    Atom-DiT encoder -> cumsum-diff downscale -> token-DiT -> broadcast
+    upscale -> atom-DiT decoder -> linear to coordinate update, wrapped in
+    EDM c_in/c_skip/c_out preconditioning (precond :218-226, denoise
+    :228-233).
+    """
+
+    c_a: int
+    c_s: int
+    no_blocks_atom: int
+    no_blocks_dit: int
+    sigma_data: float = 16.0
+    inf: float = 1e9
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x_hat,  # [B, A, 3] noisy coords (B = diffusion samples)
+        t_hat,  # [B] noise levels
+        a,  # [A, c_a] atom single conditioning
+        ap,  # [A, A, c_ap] atom pair conditioning
+        s,  # [T, c_s] token single conditioning
+        z,  # [T, T, c_z] token pair conditioning
+        ap_mask,  # [A, A]
+        z_mask,  # [T, T]
+        token_id_to_chunk_sizes,  # [T]
+        atom_id_to_token_id,  # [A]
+    ):
+        akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
+
+        # precond (:218-226)
+        c_in = 1.0 / jnp.sqrt(t_hat[:, None, None] ** 2 + self.sigma_data**2)
+        c_noise = jnp.log(t_hat / self.sigma_data) / 4.0
+        ba = Linear(self.c_a, dtype=self.dtype, name="linear_x")(
+            (x_hat * c_in).astype(self.dtype)
+        ) + a[None].astype(self.dtype)
+        t = TimestepEmbeddings(dtype=self.dtype, name="time_embedder")(t_hat * c_noise)
+        beta = None
+
+        ba = DiT(no_blocks=self.no_blocks_atom, name="atom_dit_encoder", **akw)(
+            ba, ap, t, ap_mask, beta
+        )
+
+        # downscale (:205-212)
+        pooled = segment_mean_pool(
+            jax.nn.silu(Linear(self.c_s, dtype=self.dtype, name="linear_downscale")(ba)),
+            token_id_to_chunk_sizes,
+        )
+        bs = pooled + s[None].astype(pooled.dtype)
+
+        bs = DiT(no_blocks=self.no_blocks_dit, name="token_dit", **akw)(
+            bs, z, t, z_mask, None
+        )
+
+        # upscale (:214-216)
+        ba = ba + jnp.take(
+            Linear(self.c_a, dtype=self.dtype, name="linear_upscale")(bs),
+            atom_id_to_token_id,
+            axis=-2,
+        ).astype(jnp.float32)
+
+        ba = DiT(no_blocks=self.no_blocks_atom, name="atom_dit_decoder", **akw)(
+            ba, ap, t, ap_mask, beta
+        )
+
+        # denoise (:228-233)
+        r = Linear(3, use_bias=False, dtype=self.dtype, name="linear_r")(
+            LayerNorm(eps=self.eps, dtype=self.dtype, name="norm_r")(ba)
+        ).astype(jnp.float32)
+        c_skip = (self.sigma_data**2 / (self.sigma_data**2 + t_hat**2))[:, None, None]
+        c_out = (
+            self.sigma_data * t_hat / jnp.sqrt(self.sigma_data**2 + t_hat**2)
+        )[:, None, None]
+        return c_skip * x_hat + c_out * r

@@ -1,0 +1,66 @@
+"""Scaled-dot-product attention with additive bias.
+
+This is the single attention entry point for every attention variant in the
+model (the reference routes everything through torch SDPA with an additive
+bias — PhysDock/models/primitives/attentions.py:47,91,129,210,259).
+
+Two implementations:
+  * `sdpa_xla`   — einsum + fp32 softmax; XLA fuses this well and it is the
+                   reference semantics for parity testing.
+  * `flash_sdpa` — Pallas TPU flash-attention kernel (tiled online softmax)
+                   for long atom-level sequences; falls back to XLA off-TPU
+                   or for shapes that do not tile.
+
+Layout: q, k, v are [..., H, S, D]; bias is broadcastable to [..., H, S, S].
+Softmax statistics are always fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa_xla(q, k, v, bias=None):
+    """Reference-semantics attention: softmax(qk^T/sqrt(D) + bias) v."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    logits = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("...qk,...kd->...qd", probs.astype(q.dtype), v)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend
+        return False
+
+
+def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
+    """Dispatching attention entry point.
+
+    impl: "auto" (flash on TPU when shapes tile), "xla", or "flash".
+    """
+    if impl == "xla":
+        return sdpa_xla(q, k, v, bias)
+    if impl in ("auto", "flash"):
+        s_q, s_k, d = q.shape[-2], k.shape[-2], q.shape[-1]
+        tileable = (
+            s_q % 128 == 0 and s_k % 128 == 0 and d in (32, 64, 128) and s_k >= 256
+        )
+        if (impl == "flash" or _on_tpu()) and tileable:
+            try:
+                from physdock_tpu.ops.flash_attention import flash_sdpa
+
+                return flash_sdpa(q, k, v, bias)
+            except Exception:
+                if impl == "flash":
+                    raise
+        return sdpa_xla(q, k, v, bias)
+    raise ValueError(f"unknown attention impl: {impl}")
