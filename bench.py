@@ -1,0 +1,88 @@
+"""Benchmark: poses/sec/chip on the docking sampler (driver contract).
+
+Runs the flagship inference workload on the available accelerator: the
+medium model at crop 256 / 2048 atoms, full 40-step EDM reverse pass with
+physics guidance, batched over diffusion samples.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against BASELINE.json's target of >=5x an A100
+running the PyTorch reference.  No reference throughput is published
+(SURVEY §6); we use a conservative A100 estimate of 0.02 poses/s at this
+config (40 denoiser steps x ~1.2 s/step on 2048-atom crops) so
+vs_baseline = poses_per_sec / (5 * 0.02).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+A100_REFERENCE_POSES_PER_SEC = 0.02  # conservative estimate, see docstring
+TARGET_MULTIPLier = 5.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from physdock_tpu.config import PhysDockConfig
+    from physdock_tpu.data.synthetic import make_synthetic_batch
+    from physdock_tpu.model.diffusion import sample_diffusion
+    from physdock_tpu.model.physdock import PhysDock
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+
+    n_tokens, n_atoms, n_msa = (256, 2048, 128) if on_tpu else (32, 96, 8)
+    num_sample = 5 if on_tpu else 2
+    steps = 40 if on_tpu else 4
+    model_name = "medium" if on_tpu else "toy"
+
+    cfg = PhysDockConfig.named(model_name, bf16=on_tpu, num_augmentation_sample=2)
+    model = PhysDock(cfg=cfg.model, dtype=cfg.dtypes.compute_dtype)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(
+            n_tokens=n_tokens, n_atoms=n_atoms, n_msa=n_msa, n_ligand_tokens=16
+        ).items()
+    }
+    params = model.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+
+    def run(key):
+        return sample_diffusion(
+            model,
+            params,
+            batch,
+            key,
+            num_sample=num_sample,
+            steps=steps,
+            karras_rho=1000.0,
+        )
+
+    jitted = jax.jit(run)
+    # compile + warmup
+    jitted(jax.random.PRNGKey(1)).block_until_ready()
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        jitted(jax.random.PRNGKey(2 + i)).block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    poses_per_sec = num_sample / dt
+    baseline = TARGET_MULTIPLier * A100_REFERENCE_POSES_PER_SEC
+    print(
+        json.dumps(
+            {
+                "metric": f"poses/sec/chip ({model_name}, crop {n_tokens}/{n_atoms}, {steps} steps, {platform})",
+                "value": round(poses_per_sec, 4),
+                "unit": "poses/s",
+                "vs_baseline": round(poses_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Shared CLI plumbing: argparse surface matching the reference
+(redocking.py:460-487 / screening.py), model/params loading."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def add_common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-o", "--output_dir", required=True)
+    p.add_argument("--params", default=None, help="checkpoint (.pt torch or orbax dir)")
+    p.add_argument("--model_name", default="medium",
+                   choices=["toy", "tiny", "small", "medium", "full"])
+    p.add_argument("--msa_features_dir", default=None)
+    p.add_argument("--uniprot_msa_features_dir", default=None)
+    p.add_argument("--max_samples", type=int, default=5)
+    p.add_argument("--num_samples_per_round", type=int, default=5)
+    p.add_argument("--max_rounds", type=int, default=10)
+    p.add_argument("--steps", type=int, default=40)
+    p.add_argument("--enable_physics_correction", action="store_true")
+    p.add_argument("--mmff_iters", type=int, default=5)
+    p.add_argument("--eta", type=float, default=6.0,
+                   help="mmff_gamma_0_factor_start")
+    p.add_argument("--num_confs", type=int, default=128)
+    p.add_argument("--crop_size", type=int, default=None)
+    p.add_argument("--atom_crop_size", type=int, default=None)
+    p.add_argument("--pocket_type", default="atom", choices=["atom", "ca"])
+    p.add_argument("--pocket_cutoff", type=float, default=10.0)
+    p.add_argument("--pocket_dist_type", default="ligand",
+                   choices=["ligand", "ligand_centre"])
+    p.add_argument("--use_pocket", action="store_true")
+    p.add_argument("--use_key_res", action="store_true")
+    p.add_argument("--key_res_random_mask_ratio", type=float, default=0.5)
+    p.add_argument("--rho", type=float, default=1000.0)
+    p.add_argument("--enable_ranking", action="store_true")
+    p.add_argument("--enable_sidechain_relaxation", action="store_true")
+    p.add_argument("--align_mode", default="pocket_ca")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ebable_x_gt_ligand_as_ref_pos", action="store_true",
+                   help="GT-conformer ablation (reference redocking.py:79-82)")
+
+
+def build_pipeline(args):
+    from physdock_tpu.config import PhysDockConfig
+    from physdock_tpu.data.feature_loader import SystemFeaturizer
+    from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
+    from physdock_tpu.model.physdock import PhysDock
+
+    cfg = PhysDockConfig.named(
+        args.model_name,
+        crop_size=args.crop_size,
+        atom_crop_size=args.atom_crop_size or (args.crop_size or 256) * 8,
+        bf16=args.bf16,
+        infer_pocket_type=args.pocket_type,
+        infer_pocket_cutoff=args.pocket_cutoff,
+        infer_pocket_dist_type=args.pocket_dist_type,
+        infer_use_pocket=args.use_pocket,
+        infer_use_key_res=args.use_key_res,
+        key_res_random_mask_ratio=args.key_res_random_mask_ratio,
+    )
+    featurizer = SystemFeaturizer(
+        cfg.data,
+        msa_features_dir=args.msa_features_dir,
+        uniprot_msa_features_dir=args.uniprot_msa_features_dir,
+        inference_mode=True,
+        seed=args.seed,
+    )
+    params = load_params(args.params, cfg)
+    settings = SamplerSettings(
+        max_samples=args.max_samples,
+        num_samples_per_round=args.num_samples_per_round,
+        max_rounds=args.max_rounds,
+        steps=args.steps,
+        enable_physics_correction=args.enable_physics_correction,
+        mmff_iters=args.mmff_iters,
+        eta=args.eta,
+        num_confs=args.num_confs,
+        rho=args.rho,
+        enable_ranking=args.enable_ranking,
+        align_mode=args.align_mode,
+        seed=args.seed,
+    )
+    return DockingPipeline(cfg, params, featurizer, settings)
+
+
+def load_params(path: Optional[str], cfg):
+    """Load params from a torch .pt (converted), an orbax checkpoint dir, or
+    initialize randomly when absent (useful for smoke runs)."""
+    if path is None:
+        import numpy as np
+
+        from physdock_tpu.data.synthetic import make_synthetic_batch
+        from physdock_tpu.model.physdock import PhysDock
+
+        model = PhysDock(cfg=cfg.model, dtype=cfg.dtypes.compute_dtype)
+        b = {
+            k: jnp.asarray(v)
+            for k, v in make_synthetic_batch(
+                n_tokens=16, n_atoms=48, n_msa=4
+            ).items()
+        }
+        return model.init(jax.random.PRNGKey(0), b, jax.random.PRNGKey(1))
+    if path.endswith(".pt"):
+        from physdock_tpu.model.import_weights import import_checkpoint
+
+        return import_checkpoint(path)
+    from physdock_tpu.train.checkpoint import restore_params
+
+    return restore_params(path)

@@ -3,7 +3,7 @@
 Equivalent of reference data/constants/restype_constants.py: the 31 standard
 CCDs (20 AA + UNK + 5 RNA + 5 DNA) + GAP ordering used for restype/MSA
 one-hots, predicates, special-atom names, and per-residue heavy-atom
-composition (names in PDB CCD order with N/CA/C/O/CB first, no OXT, no H)
+composition (names in PDB CCD order: N/CA/C/O/CB first, trailing OXT, no H)
 plus intra-residue bond graphs (used to regenerate the CCD metadata the
 reference ships as a binary blob — see data/ccd.py).
 """
@@ -99,7 +99,7 @@ FRAME_ATOMS = {
 }
 
 # --------------------- heavy-atom composition + bonds -----------------------
-# Atom order: N CA C O CB ... (PDB CCD order, no OXT/H) — index 1 must be CA
+# Atom order: N CA C O CB ... OXT (PDB CCD order, no H) — index 1 must be CA
 # and index 4 CB, which the featurizer's conformer-exists checks rely on
 # (feature_loader.py:260-265).
 
@@ -127,6 +127,9 @@ AA_ATOMS = {
     "VAL": ["N", "CA", "C", "O", "CB", "CG1", "CG2"],
     "UNK": ["N", "CA", "C", "O", "CB"],
 }
+
+for _atoms in AA_ATOMS.values():
+    _atoms.append("OXT")
 
 # (i_name, j_name, order) — order: 1 single, 2 double, 1.5 aromatic
 AA_BONDS = {
@@ -180,10 +183,15 @@ AA_BONDS = {
     "UNK": [("N", "CA", 1), ("CA", "C", 1), ("C", "O", 2), ("CA", "CB", 1)],
 }
 
+for _bonds in AA_BONDS.values():
+    _bonds.append(("C", "OXT", 1))
+
+# heavy-atom counts INCLUDING the trailing OXT (PDB CCD order, matching the
+# reference blob's per-residue arrays observed in the demo systems)
 EXPECTED_ATOM_COUNTS = {
-    "ALA": 5, "ARG": 11, "ASN": 8, "ASP": 8, "CYS": 6, "GLN": 9, "GLU": 9,
-    "GLY": 4, "HIS": 10, "ILE": 8, "LEU": 8, "LYS": 9, "MET": 8, "PHE": 11,
-    "PRO": 7, "SER": 6, "THR": 7, "TRP": 14, "TYR": 12, "VAL": 7,
+    "ALA": 6, "ARG": 12, "ASN": 9, "ASP": 9, "CYS": 7, "GLN": 10, "GLU": 10,
+    "GLY": 5, "HIS": 11, "ILE": 9, "LEU": 9, "LYS": 10, "MET": 9, "PHE": 12,
+    "PRO": 8, "SER": 7, "THR": 8, "TRP": 15, "TYR": 13, "VAL": 8,
 }
 
 # one-hot basis matrices (restype_constants.py:102-107)

@@ -1,0 +1,188 @@
+"""Homology search orchestration + MSA feature conversion.
+
+Equivalent of reference alignment_runner_v2.run_homo_search (:263-327) +
+DatasetManager.convert_msas_out_to_{msa,uniprot_msa}_features
+(tools/dataset_manager.py:167-382): fan fastas over a process pool, run
+jackhmmer (uniref90/uniprot/mgnify) + hhblits (bfd+uniclust30) with
+idempotent caching by output existence, then parse sto/a3m into int8
+msa/deletion features keyed by md5("protein:"+seq).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from physdock_tpu.data.constants.restypes import AA_1TO3, restype_order
+from physdock_tpu.data.msa import parsers
+from physdock_tpu.data.msa.tools import HHBlits, Jackhmmer
+from physdock_tpu.utils.io import (
+    dump_pkl,
+    load_txt,
+    protein_msa_key,
+    run_pool_tasks,
+)
+
+# per-database hit caps (alignment_runner_v2.py:77-127)
+DB_CAPS = {"uniref90": 10000, "uniprot": 50000, "mgnify": 5000, "bfd": None}
+MAX_MSA_SEQS = 16384
+
+
+@dataclasses.dataclass
+class SearchConfig:
+    uniref90_path: Optional[str] = None
+    uniprot_path: Optional[str] = None
+    mgnify_path: Optional[str] = None
+    bfd_path: Optional[str] = None
+    uniclust30_path: Optional[str] = None
+    n_cpu: int = 8
+
+
+class AlignmentRunner:
+    """Run all searches for one fasta, caching by output existence
+    (alignment_runner_v2.py:129-157)."""
+
+    def __init__(self, cfg: SearchConfig):
+        self.cfg = cfg
+
+    def run(self, fasta_path: str, out_dir: str) -> Dict[str, str]:
+        os.makedirs(out_dir, exist_ok=True)
+        produced = {}
+        jobs = []
+        if self.cfg.uniref90_path:
+            jobs.append(("uniref90_hits.sto", Jackhmmer(self.cfg.uniref90_path, n_cpu=self.cfg.n_cpu)))
+        if self.cfg.mgnify_path:
+            jobs.append(("mgnify_hits.sto", Jackhmmer(self.cfg.mgnify_path, n_cpu=self.cfg.n_cpu)))
+        if self.cfg.uniprot_path:
+            jobs.append(("uniprot_hits.sto", Jackhmmer(self.cfg.uniprot_path, n_cpu=self.cfg.n_cpu)))
+        for name, tool in jobs:
+            out = os.path.join(out_dir, name)
+            if os.path.exists(out):
+                produced[name] = out
+                continue
+            if not tool.available:
+                continue
+            try:
+                tool.query(fasta_path, out)
+                produced[name] = out
+            except Exception as e:  # tool failure -> warn, continue
+                print(f"[warn] {name} search failed: {e}")
+        if self.cfg.bfd_path and self.cfg.uniclust30_path:
+            out = os.path.join(out_dir, "bfd_uniclust_hits.a3m")
+            tool = HHBlits([self.cfg.bfd_path, self.cfg.uniclust30_path])
+            if os.path.exists(out):
+                produced["bfd_uniclust_hits.a3m"] = out
+            elif tool.available:
+                try:
+                    tool.query(fasta_path, out)
+                    produced["bfd_uniclust_hits.a3m"] = out
+                except Exception as e:
+                    print(f"[warn] hhblits failed: {e}")
+        return produced
+
+
+def msa_to_int8(msa: parsers.Msa) -> Dict[str, np.ndarray]:
+    """Aligned rows -> int8 restype arrays in the 32-class alphabet
+    ('-' -> GAP=31; tools/parse_msas.py:94 lineage)."""
+    if not msa.sequences:
+        return {
+            "msa": np.zeros((0, 0), np.int8),
+            "deletion_matrix": np.zeros((0, 0), np.int8),
+        }
+    arr = np.full((len(msa.sequences), len(msa.sequences[0])), 31, np.int8)
+    for r, seq in enumerate(msa.sequences):
+        for c, ch in enumerate(seq):
+            if ch == "-":
+                continue
+            arr[r, c] = restype_order(AA_1TO3.get(ch, "UNK"))
+    dele = np.zeros_like(arr)
+    for r, row in enumerate(msa.deletion_matrix):
+        dele[r, : len(row)] = np.minimum(row, 127)
+    return {"msa": arr, "deletion_matrix": dele}
+
+
+def convert_search_outputs(
+    msas_dir: str,
+    features_dir: str,
+    uniprot_features_dir: Optional[str] = None,
+    max_seqs: int = MAX_MSA_SEQS,
+) -> None:
+    """sto/a3m outputs -> {md5}.pkl.gz int8 feature files with md5
+    self-check (dataset_manager.py:167-382)."""
+    os.makedirs(features_dir, exist_ok=True)
+    if uniprot_features_dir:
+        os.makedirs(uniprot_features_dir, exist_ok=True)
+    for entry in sorted(os.listdir(msas_dir)):
+        out_dir = os.path.join(msas_dir, entry)
+        if not os.path.isdir(out_dir):
+            continue
+        msas = []
+        for name in ("uniref90_hits.sto", "mgnify_hits.sto"):
+            p = os.path.join(out_dir, name)
+            if os.path.exists(p):
+                msas.append(
+                    parsers.parse_stockholm(open(p).read()).truncate(
+                        DB_CAPS.get(name.split("_")[0], None) or max_seqs
+                    )
+                )
+        p = os.path.join(out_dir, "bfd_uniclust_hits.a3m")
+        if os.path.exists(p):
+            msas.append(parsers.parse_a3m(open(p).read()))
+        if msas:
+            merged = parsers.merge_msas(msas).truncate(max_seqs)
+            feats = msa_to_int8(merged)
+            query = merged.sequences[0].replace("-", "")
+            key = protein_msa_key(query)
+            if key != entry:
+                print(f"[warn] md5 mismatch for {entry} (query gives {key})")
+            feats["msa_species_identifiers"] = np.array(
+                [parsers.species_from_description(d) for d in merged.descriptions],
+                object,
+            )
+            dump_pkl(feats, os.path.join(features_dir, f"{entry}.pkl.gz"))
+
+        # uniprot (pairing) features
+        p = os.path.join(out_dir, "uniprot_hits.sto")
+        if uniprot_features_dir and os.path.exists(p):
+            up = parsers.parse_stockholm(open(p).read()).truncate(
+                DB_CAPS["uniprot"]
+            )
+            up = parsers.deduplicate(up)
+            f = msa_to_int8(up)
+            dump_pkl(
+                {
+                    "msa_all_seq": f["msa"],
+                    "deletion_matrix_all_seq": f["deletion_matrix"],
+                    "msa_species_identifiers_all_seq": np.array(
+                        [parsers.species_from_description(d) for d in up.descriptions],
+                        object,
+                    ),
+                },
+                os.path.join(uniprot_features_dir, f"{entry}.pkl.gz"),
+            )
+
+
+def run_homo_search(
+    fasta_paths: Sequence[str],
+    output_dir: str,
+    cfg: SearchConfig,
+    num_workers: int = 4,
+) -> None:
+    """Pool-parallel homology search + feature conversion
+    (alignment_runner_v2.py:263-327)."""
+    msas_dir = os.path.join(output_dir, "msas")
+    runner = AlignmentRunner(cfg)
+
+    def one(fasta):
+        name = os.path.basename(fasta).rsplit(".", 1)[0]
+        return runner.run(fasta, os.path.join(msas_dir, name))
+
+    run_pool_tasks(one, list(fasta_paths), num_workers=num_workers)
+    convert_search_outputs(
+        msas_dir,
+        os.path.join(output_dir, "msa_features"),
+        os.path.join(output_dir, "uniprot_msa_features"),
+    )

