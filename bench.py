@@ -48,7 +48,9 @@ def main():
             n_tokens=n_tokens, n_atoms=n_atoms, n_msa=n_msa, n_ligand_tokens=16
         ).items()
     }
-    params = model.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    # jit the init: eager init executes thousands of tiny ops (deadly
+    # through the remote-TPU tunnel); one compiled program instead
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
 
     def run(key):
         return sample_diffusion(

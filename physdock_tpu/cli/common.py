@@ -83,6 +83,7 @@ def build_pipeline(args):
         num_confs=args.num_confs,
         rho=args.rho,
         enable_ranking=args.enable_ranking,
+        enable_sidechain_relaxation=args.enable_sidechain_relaxation,
         align_mode=args.align_mode,
         seed=args.seed,
     )
@@ -105,7 +106,7 @@ def load_params(path: Optional[str], cfg):
                 n_tokens=16, n_atoms=48, n_msa=4
             ).items()
         }
-        return model.init(jax.random.PRNGKey(0), b, jax.random.PRNGKey(1))
+        return jax.jit(model.init)(jax.random.PRNGKey(0), b, jax.random.PRNGKey(1))
     if path.endswith(".pt"):
         from physdock_tpu.model.import_weights import import_checkpoint
 

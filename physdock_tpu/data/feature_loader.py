@@ -113,6 +113,7 @@ class SystemFeaturizer:
         ligand_mol=None,
         ligand_sdf: Optional[str] = None,
         rng: Optional[np.random.Generator] = None,
+        num_msa_rounds: int = 1,
     ) -> Tuple[Dict[str, np.ndarray], Dict]:
         rng = rng or self.rng
         system_id = "system"
@@ -182,9 +183,21 @@ class SystemFeaturizer:
         feats, meta = self._merge(chain_data, rng)
         meta["system_id"] = system_id
         meta["ref_mol"] = ref_mol
-        feats = self._finalize(feats, rng)
+        feats = self._finalize(feats, rng, num_msa_rounds=num_msa_rounds)
+        batch_msa_feat = feats.pop("batch_msa_feat", None)
         if self.pad_to_bucket and self.inference_mode:
+            n_tok0 = len(feats["s_mask"])
             feats = self._pad(feats)
+            if batch_msa_feat is not None:
+                dt = len(feats["s_mask"]) - n_tok0
+                if dt:
+                    batch_msa_feat = np.pad(
+                        batch_msa_feat, ((0, 0), (0, 0), (0, dt), (0, 0))
+                    )
+        if batch_msa_feat is not None:
+            # per-round MSA cluster resampling (redocking.py:187-188);
+            # kept in meta (host-side), swapped into the batch each round
+            meta["batch_msa_feat"] = batch_msa_feat
         return feats, meta
 
     # ----------------------------------------------------------- stage: pocket
@@ -754,7 +767,7 @@ class SystemFeaturizer:
 
     # --------------------------------------------------------- stage: finalize
 
-    def _finalize(self, feats: Dict, rng) -> Dict:
+    def _finalize(self, feats: Dict, rng, num_msa_rounds: int = 1) -> Dict:
         # target feat (feature_loader.py:810-815)
         restype_oh = np.eye(32, dtype=np.float32)[feats["restype"]]
         feats["target_feat"] = np.concatenate(
@@ -767,6 +780,7 @@ class SystemFeaturizer:
                 feats.pop("deletion_matrix"),
                 self.cfg.max_msa_clusters,
                 rng,
+                num_rounds=num_msa_rounds,
             )
         )
         feats.pop("profile")

@@ -57,6 +57,7 @@ class SamplerSettings:
     noise_scale_lambda: float = 1.003
     step_scale_eta: float = 1.5
     enable_ranking: bool = True
+    enable_sidechain_relaxation: bool = False
     align_mode: str = "pocket_ca"
     seed: int = 0
 
@@ -154,10 +155,14 @@ class DockingPipeline:
         s = self.s
         t_start = time.time()
         feats, meta = self.featurizer.load(
-            system, remove_ligand=remove_ligand, smi=smi, ligand_sdf=ligand_sdf
+            system,
+            remove_ligand=remove_ligand,
+            smi=smi,
+            ligand_sdf=ligand_sdf,
+            num_msa_rounds=max(1, s.max_rounds),
         )
-        # keep msa source for per-round resampling
         batch = {k: jnp.asarray(v) for k, v in feats.items()}
+        batch_msa_feat = meta.pop("batch_msa_feat", None)
         guidance = self._build_guidance(batch, meta) if s.enable_physics_correction else None
         guided = guidance is not None
         sample_fn = self._sample_fn(guided)
@@ -173,6 +178,10 @@ class DockingPipeline:
         for rnd in range(s.max_rounds):
             rounds_run += 1
             key, k_round = jax.random.split(key)
+            if batch_msa_feat is not None:
+                # MSA clusters resampled per round (redocking.py:187-188);
+                # same shape every round -> single compile
+                batch["msa_feat"] = jnp.asarray(batch_msa_feat[rnd % len(batch_msa_feat)])
             conditioning = self._jit_cond(self.params, batch)
             x = sample_fn(
                 self.params,
@@ -194,9 +203,6 @@ class DockingPipeline:
             factor = max(1.0, factor * (1.15 if ok.any() else 0.7))
             if not guided or len(accepted) >= s.max_samples:
                 break
-            # resample MSA clusters for the next round
-            if "msa" in feats:
-                pass  # featurizer already consumed msa; resampling via reload
         if not accepted:
             accepted = [np.asarray(x[i]) for i in range(len(x))]
         poses = np.stack(accepted[: s.max_samples])
@@ -214,6 +220,13 @@ class DockingPipeline:
             pocket_ca[centre_ids[np.asarray(feats["is_protein"]) > 0]] = 1.0
         pocket_ca = pocket_ca * a_mask
         aligned = ranking_lib.pocket_frame_align(poses, x_gt, pocket_ca)
+
+        # optional restraint-field relaxation of each pose
+        # (replaces the reference's OpenMM stage — redocking.py:438-445)
+        if s.enable_sidechain_relaxation:
+            from physdock_tpu.infer.relax import relax_complex
+
+            aligned = np.stack([relax_complex(a, meta) for a in aligned])
 
         # rank
         order = list(range(len(aligned)))

@@ -1,0 +1,61 @@
+"""Multi-chip inference: diffusion-sample axis sharded over the dp mesh.
+
+The reference's VS throughput axis is embarrassingly parallel (independent
+poses/ligands; SURVEY §2.5).  Here the `num_sample` axis of the EDM reverse
+pass shards over `dp` via shard_map: conditioning tensors and params are
+replicated (broadcast once over ICI), every device runs the identical
+sampling scan on its sample shard, zero collectives in steady state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from physdock_tpu.model.diffusion import sample_diffusion
+
+
+def sharded_sample_diffusion(
+    model,
+    params,
+    batch,
+    key,
+    mesh: Mesh,
+    num_sample: int,
+    guidance=None,
+    conditioning=None,
+    **kw,
+):
+    """Run `num_sample` poses sharded over the mesh's dp axis.
+
+    Returns [num_sample, A, 3] with the leading axis dp-sharded.
+    """
+    dp = mesh.shape["dp"]
+    assert num_sample % dp == 0, (num_sample, dp)
+    local = num_sample // dp
+
+    def body(params, batch, key, conditioning, guidance):
+        idx = jax.lax.axis_index("dp")
+        k = jax.random.fold_in(key, idx)
+        return sample_diffusion(
+            model,
+            params,
+            batch,
+            k,
+            num_sample=local,
+            guidance=guidance,
+            conditioning=conditioning,
+            **kw,
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return fn(params, batch, key, conditioning, guidance)

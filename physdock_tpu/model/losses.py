@@ -348,3 +348,69 @@ def physdock_loss(
         logs[name] = value
     logs["loss"] = cum
     return cum, logs
+
+
+def clamp_distance_loss(
+    x_denoised, x_gt, x_exists, *, max_clamp_distance: float = 16.0
+):
+    """Mean |pair-distance error| below the GT clamp (training-era variant;
+    loss_module.py:160-184)."""
+    d_pred = jnp.linalg.norm(
+        x_denoised[..., None, :] - x_denoised[..., None, :, :] + 1e-12, axis=-1
+    )
+    d_gt = jnp.linalg.norm(x_gt[..., None, :] - x_gt[..., None, :, :] + 1e-12, axis=-1)
+    mask = (
+        (d_gt < max_clamp_distance) * x_exists[..., None] * x_exists[..., None, :]
+    )[..., None, :, :]
+    err = jnp.abs(d_pred - d_gt[..., None, :, :])
+    return jnp.mean(masked_mean(mask, err, axis=(-1, -2)))
+
+
+def rffold_loss(
+    outputs: Batch,
+    feats: Batch,
+    cfg: LossConfig,
+    sigma_data: float = 16.0,
+    use_mini_rollout: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Training-era aggregate (RFFoldLoss; loss_module3.py:573-628):
+    the release set plus optional mini-rollout confidence losses when the
+    model emits p_plddt/p_pae/p_pde and x_pred."""
+    cum, logs = physdock_loss(outputs, feats, cfg, sigma_data)
+    if use_mini_rollout and "p_plddt" in outputs:
+        extra = {
+            "plddt_loss": (
+                cfg.alpha_confidence,
+                plddt_loss(
+                    outputs["p_plddt"],
+                    outputs["x_pred"],
+                    feats["x_gt"],
+                    feats["x_exists"],
+                    no_bins=cfg.plddt_no_bins,
+                    is_dna=feats["is_dna"],
+                    is_rna=feats["is_rna"],
+                    is_ligand=feats["is_ligand"],
+                    token_id_to_centre_atom_id=feats["token_id_to_centre_atom_id"],
+                ),
+            ),
+            "pae_loss": (cfg.alpha_confidence * cfg.alpha_pae, jnp.zeros(())),
+            "pde_loss": (
+                cfg.alpha_confidence,
+                pde_loss(
+                    outputs["p_pde"],
+                    outputs["x_pred"],
+                    feats["x_gt"],
+                    feats["x_exists"],
+                    token_id_to_centre_atom_id=feats["token_id_to_centre_atom_id"],
+                    min_bin=cfg.pde_min_bin,
+                    max_bin=cfg.pde_max_bin,
+                    no_bins=cfg.pde_no_bins,
+                ),
+            ),
+        }
+        for name, (w, v) in extra.items():
+            v = _nan_to_zero(v)
+            cum = cum + w * v
+            logs[name] = v
+        logs["loss"] = cum
+    return cum, logs
