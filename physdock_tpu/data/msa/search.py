@@ -186,3 +186,20 @@ def run_homo_search(
         os.path.join(output_dir, "msa_features"),
         os.path.join(output_dir, "uniprot_msa_features"),
     )
+
+
+def find_missing_msa_features(
+    fasta_dir: str, features_dir: str
+) -> List[str]:
+    """Fastas without a corresponding {md5}.pkl.gz feature file
+    (dataset_manager.py:452-504 find-missing helpers)."""
+    import glob
+
+    missing = []
+    for fasta in sorted(glob.glob(os.path.join(fasta_dir, "*.fasta"))):
+        lines = load_txt(fasta)
+        seq = "".join(l for l in lines if not l.startswith(">"))
+        key = protein_msa_key(seq)
+        if not os.path.exists(os.path.join(features_dir, f"{key}.pkl.gz")):
+            missing.append(fasta)
+    return missing

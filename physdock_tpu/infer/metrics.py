@@ -130,3 +130,40 @@ def get_metrics(
         0.8 * metrics["iptm"] + 0.2 * metrics["ptm"] - metrics["has_clash"]
     )
     return metrics
+
+
+def pose_diagnostics(ligand_pos: np.ndarray, mol) -> Dict[str, float]:
+    """Denoised-geometry diagnostics: bond-length and angle deviations of a
+    ligand pose vs ideal values (training-era logging —
+    loss_module2.py:684-704 lineage)."""
+    from physdock_tpu.data.embed import ideal_bond_length
+
+    z = mol.atomic_numbers
+    bond_err = []
+    for i, j, o in mol.bonds:
+        d = float(np.linalg.norm(ligand_pos[i] - ligand_pos[j]))
+        bond_err.append(abs(d - ideal_bond_length(int(z[i]), int(z[j]), o)))
+    angle_err = []
+    adj = mol.adjacency
+    ref = mol.coords
+    for c in range(mol.num_atoms):
+        nbrs = adj[c]
+        for a in range(len(nbrs)):
+            for b in range(a + 1, len(nbrs)):
+                i, j = nbrs[a], nbrs[b]
+
+                def ang(x):
+                    v1 = x[i] - x[c]
+                    v2 = x[j] - x[c]
+                    cos = np.dot(v1, v2) / (
+                        np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-9
+                    )
+                    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+                if ref is not None:
+                    angle_err.append(abs(ang(ligand_pos) - ang(ref)))
+    return {
+        "bond_err_mean": float(np.mean(bond_err)) if bond_err else 0.0,
+        "bond_err_max": float(np.max(bond_err)) if bond_err else 0.0,
+        "angle_err_mean": float(np.mean(angle_err)) if angle_err else 0.0,
+    }

@@ -224,3 +224,21 @@ def random_rigid_transform_np(rng: np.random.Generator, pos: np.ndarray):
     rot = uniform_random_rotation_np(rng)
     t = rng.normal(size=(3,))
     return pos @ rot.T + t
+
+
+def greedy_matching_decoy(
+    x_pred, x_gt_decoys, decoy_exists, token_id_to_centre_atom_id, z_mask
+):
+    """Pick the GT decoy whose token-centre distance matrix best matches the
+    prediction (multi-conformation GT selection; tensor_utils.py:649-671).
+
+    x_pred: [S, A, 3] (sample 0 used); x_gt_decoys: [D, A, 3];
+    decoy_exists: [D]; returns the index of the best decoy.
+    """
+    xp = jnp.take(x_pred[0:1], token_id_to_centre_atom_id, axis=-2)
+    dp = jnp.linalg.norm(xp[:, None] - xp[:, :, None] + 1e-12, axis=-1)
+    xg = jnp.take(x_gt_decoys, token_id_to_centre_atom_id, axis=-2)
+    dg = jnp.linalg.norm(xg[:, None] - xg[:, :, None] + 1e-12, axis=-1)
+    err = masked_mean(z_mask[None], (dg - dp) ** 2, axis=(-1, -2))
+    err = jnp.where(decoy_exists > 0, err, jnp.max(err))
+    return jnp.argmin(err)
