@@ -143,6 +143,10 @@ def sample_diffusion(
     else:
         a, ap, s, z = conditioning
 
+    # per-block attention biases depend only on (ap, z): compute once and
+    # reuse across all steps of the scan (vs per block x step recompute)
+    bias_cache = model.apply(params, batch, ap, z, method="denoise_bias_cache")
+
     sigmas = jnp.asarray(
         karras_noise_schedule(steps, model.cfg.sigma_data, s_max, s_min, karras_rho)
     )
@@ -165,7 +169,8 @@ def sample_diffusion(
 
     def denoiser(x_hat, t_hat):
         return model.apply(
-            params, batch, x_hat, t_hat, a, ap, s, z, method="denoise"
+            params, batch, x_hat, t_hat, a, ap, s, z, bias_cache,
+            method="denoise",
         )
 
     def step(carry, xs):

@@ -55,7 +55,9 @@ class PhysDock(nn.Module):
         )
         self.dit = AF3DiT(
             c_a=c.c_a,
+            c_ap=c.c_ap,
             c_s=c.c_s,
+            c_z=c.c_z,
             no_blocks_atom=c.no_blocks_atom,
             no_blocks_dit=c.no_blocks_dit,
             sigma_data=c.sigma_data,
@@ -71,7 +73,7 @@ class PhysDock(nn.Module):
     def conditioning(self, batch: Batch):
         return self.diffusion_conditioning(batch)
 
-    def denoise(self, batch: Batch, x_hat, t_hat, a, ap, s, z):
+    def denoise(self, batch: Batch, x_hat, t_hat, a, ap, s, z, bias_cache=None):
         return self.dit(
             x_hat,
             t_hat,
@@ -83,6 +85,15 @@ class PhysDock(nn.Module):
             batch["z_mask"],
             batch["token_id_to_chunk_sizes"],
             batch["atom_id_to_token_id"],
+            bias_cache=bias_cache,
+        )
+
+    def denoise_bias_cache(self, batch: Batch, ap, z):
+        """Per-block DiT attention biases, computed once per round and
+        reused across every diffusion step (HBM-traffic optimization; the
+        reference recomputes per block x step)."""
+        return self.dit.compute_bias_cache(
+            ap, z, batch["ap_mask"], batch["z_mask"]
         )
 
     def distogram(self, z):

@@ -233,33 +233,56 @@ class DiTAttention(nn.Module):
     (attentions.py:220-265).
 
     bs: [B, S, c_s] (B = diffusion samples); z: [S, S, c_z]; t: [B, 256].
-    """
 
+    setup-style so `compute_bias` can run separately from `__call__`:
+    the pair bias (norm_z -> linear_z -> +mask) depends only on the
+    conditioning, so the sampler precomputes it ONCE per round instead of
+    re-reading the [S, S, c_z] pair tensor every block x diffusion step
+    (the reference recomputes per step — attentions.py:252-255; at 2048
+    atoms that is ~134 MB of HBM reads per block-step)."""
+
+    c_s: int
+    c_z: int
     inf: float = 1e9
     eps: float = 1e-8
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
-    def __call__(self, bs, z, t, z_mask, beta=None):
-        c_s = bs.shape[-1]
-        h = c_s // C_HIDDEN
-        bs_norm, gate = AdaLayerNormZero(eps=self.eps, dtype=self.dtype, name="norm_s")(bs, t)
-        z_norm = LayerNorm(dtype=self.dtype, name="norm_z")(z)
+    def setup(self):
+        h = self.c_s // C_HIDDEN
+        self.norm_s = AdaLayerNormZero(eps=self.eps, dtype=self.dtype)
+        self.norm_z = LayerNorm(dtype=self.dtype)
+        self.linear_q = Linear(self.c_s, use_bias=False, dtype=self.dtype)
+        self.linear_k = Linear(self.c_s, use_bias=False, dtype=self.dtype)
+        self.linear_v = Linear(self.c_s, use_bias=False, dtype=self.dtype)
+        self.linear_z = Linear(h, use_bias=False, dtype=self.dtype)
+        self.norm_q = RMSNorm(eps=self.eps, dtype=self.dtype)
+        self.norm_k = RMSNorm(eps=self.eps, dtype=self.dtype)
+        self.linear_o = Linear(self.c_s, dtype=self.dtype)
 
-        q = _split_heads(Linear(c_s, use_bias=False, dtype=self.dtype, name="linear_q")(bs_norm), h)
-        k = _split_heads(Linear(c_s, use_bias=False, dtype=self.dtype, name="linear_k")(bs_norm), h)
-        v = _split_heads(Linear(c_s, use_bias=False, dtype=self.dtype, name="linear_v")(bs_norm), h)
-        q = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_q")(q)
-        k = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_k")(k)
+    def compute_bias(self, z, z_mask):
+        """[H, S, S] pair bias incl. the additive mask (cacheable)."""
+        bias = jnp.moveaxis(self.linear_z(self.norm_z(z)), -1, -3)
+        return (
+            bias.astype(jnp.float32)
+            + gen_attn_mask(z_mask.astype(jnp.float32), -self.inf)[None]
+        )
 
-        bias = jnp.moveaxis(
-            Linear(h, use_bias=False, dtype=self.dtype, name="linear_z")(z_norm), -1, -3
-        )[None]
-        bias = bias + gen_attn_mask(z_mask.astype(jnp.float32), -self.inf)[None, None]
+    def __call__(self, bs, z, t, z_mask, beta=None, cached_bias=None):
+        h = self.c_s // C_HIDDEN
+        bs_norm, gate = self.norm_s(bs, t)
+
+        q = self.norm_q(_split_heads(self.linear_q(bs_norm), h))
+        k = self.norm_k(_split_heads(self.linear_k(bs_norm), h))
+        v = _split_heads(self.linear_v(bs_norm), h)
+
+        if cached_bias is None:
+            bias = self.compute_bias(z, z_mask)[None]
+        else:
+            bias = cached_bias[None]
         if beta is not None:
             bias = bias + beta[:, None, :, :].astype(bias.dtype)
 
         o = _merge_heads(dot_product_attention(q, k, v, bias, impl=self.attn_impl))
-        o = Linear(c_s, dtype=self.dtype, name="linear_o")(o).astype(jnp.float32)
+        o = self.linear_o(o).astype(jnp.float32)
         return o * gate.astype(jnp.float32)

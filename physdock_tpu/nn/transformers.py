@@ -248,42 +248,83 @@ class Pairformer(nn.Module):
 
 
 class DiTBlock(nn.Module):
-    """AdaLN-Zero DiT block (transformers.py:149-162)."""
+    """AdaLN-Zero DiT block (transformers.py:149-162).
 
+    The attention's pair bias is always consumed precomputed (`bias`), so
+    the per-step scan never touches the [S, S, c_z] pair tensor; `bias_only`
+    is the companion scanned method that produces it once per round."""
+
+    c_s: int
+    c_z: int
     inf: float = 1e9
     eps: float = 1e-8
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
-    def __call__(self, bs, z, t, z_mask, beta):
-        bs = bs + DiTAttention(
-            inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl,
-            name="attention",
-        )(bs, z, t, z_mask, beta)
-        bs = bs + DiTTransition(eps=self.eps, dtype=self.dtype, name="transition")(bs, t)
+    def setup(self):
+        self.attention = DiTAttention(
+            c_s=self.c_s,
+            c_z=self.c_z,
+            inf=self.inf,
+            eps=self.eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+        self.transition = DiTTransition(eps=self.eps, dtype=self.dtype)
+
+    def __call__(self, bs, t, beta, bias):
+        bs = bs + self.attention(bs, None, t, None, beta, cached_bias=bias)
+        bs = bs + self.transition(bs, t)
         return bs, None
+
+    def bias_only(self, carry, z, z_mask):
+        return carry, self.attention.compute_bias(z, z_mask)
 
 
 class DiT(nn.Module):
+    c_s: int
+    c_z: int
     no_blocks: int = 12
     inf: float = 1e9
     eps: float = 1e-8
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
-    def __call__(self, bs, z, t, z_mask, beta=None):
-        stack = _scan_stack(
-            DiTBlock,
-            self.no_blocks,
+    def setup(self):
+        scan_kw = dict(
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.no_blocks,
+            out_axes=0,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        cls = nn.remat(DiTBlock, prevent_cse=False, methods=["__call__", "bias_only"])
+        self.blocks = nn.scan(
+            cls,
+            methods={
+                "__call__": dict(
+                    in_axes=(nn.broadcast, nn.broadcast, 0), **scan_kw
+                ),
+                "bias_only": dict(in_axes=nn.broadcast, **scan_kw),
+            },
+        )(
+            c_s=self.c_s,
+            c_z=self.c_z,
             inf=self.inf,
             eps=self.eps,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
-            name="blocks",
         )
-        bs, _ = stack(bs.astype(jnp.float32), z, t, z_mask, beta)
+
+    def compute_bias(self, z, z_mask):
+        """Per-block pair biases [no_blocks, H, S, S] (cache once per round)."""
+        _, bias = self.blocks.bias_only(None, z, z_mask)
+        return bias
+
+    def __call__(self, bs, z, t, z_mask, beta=None, cached_bias=None):
+        if cached_bias is None:
+            cached_bias = self.compute_bias(z, z_mask)
+        bs, _ = self.blocks(bs.astype(jnp.float32), t, beta, cached_bias)
         return bs
 
 
@@ -314,10 +355,16 @@ class AF3DiT(nn.Module):
     upscale -> atom-DiT decoder -> linear to coordinate update, wrapped in
     EDM c_in/c_skip/c_out preconditioning (precond :218-226, denoise
     :228-233).
+
+    `compute_bias_cache` precomputes the per-block attention biases from
+    (ap, z) once; the sampler reuses them over all diffusion steps (the
+    reference recomputes them every block x step).
     """
 
     c_a: int
+    c_ap: int
     c_s: int
+    c_z: int
     no_blocks_atom: int
     no_blocks_dit: int
     sigma_data: float = 16.0
@@ -326,7 +373,34 @@ class AF3DiT(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        akw = dict(
+            inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl
+        )
+        self.linear_x = Linear(self.c_a, dtype=self.dtype)
+        self.linear_downscale = Linear(self.c_s, dtype=self.dtype)
+        self.linear_upscale = Linear(self.c_a, dtype=self.dtype)
+        self.time_embedder = TimestepEmbeddings(dtype=self.dtype)
+        self.atom_dit_encoder = DiT(
+            c_s=self.c_a, c_z=self.c_ap, no_blocks=self.no_blocks_atom, **akw
+        )
+        self.token_dit = DiT(
+            c_s=self.c_s, c_z=self.c_z, no_blocks=self.no_blocks_dit, **akw
+        )
+        self.atom_dit_decoder = DiT(
+            c_s=self.c_a, c_z=self.c_ap, no_blocks=self.no_blocks_atom, **akw
+        )
+        self.norm_r = LayerNorm(eps=self.eps, dtype=self.dtype)
+        self.linear_r = Linear(3, use_bias=False, dtype=self.dtype)
+
+    def compute_bias_cache(self, ap, z, ap_mask, z_mask):
+        """Per-stack cached attention biases (once per round)."""
+        return {
+            "atom_enc": self.atom_dit_encoder.compute_bias(ap, ap_mask),
+            "token": self.token_dit.compute_bias(z, z_mask),
+            "atom_dec": self.atom_dit_decoder.compute_bias(ap, ap_mask),
+        }
+
     def __call__(
         self,
         x_hat,  # [B, A, 3] noisy coords (B = diffusion samples)
@@ -339,48 +413,45 @@ class AF3DiT(nn.Module):
         z_mask,  # [T, T]
         token_id_to_chunk_sizes,  # [T]
         atom_id_to_token_id,  # [A]
+        bias_cache=None,
     ):
-        akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
+        if bias_cache is None:
+            bias_cache = self.compute_bias_cache(ap, z, ap_mask, z_mask)
 
         # precond (:218-226)
         c_in = 1.0 / jnp.sqrt(t_hat[:, None, None] ** 2 + self.sigma_data**2)
         c_noise = jnp.log(t_hat / self.sigma_data) / 4.0
-        ba = Linear(self.c_a, dtype=self.dtype, name="linear_x")(
-            (x_hat * c_in).astype(self.dtype)
-        ) + a[None].astype(self.dtype)
-        t = TimestepEmbeddings(dtype=self.dtype, name="time_embedder")(t_hat * c_noise)
+        ba = self.linear_x((x_hat * c_in).astype(self.dtype)) + a[None].astype(
+            self.dtype
+        )
+        t = self.time_embedder(t_hat * c_noise)
         beta = None
 
-        ba = DiT(no_blocks=self.no_blocks_atom, name="atom_dit_encoder", **akw)(
-            ba, ap, t, ap_mask, beta
+        ba = self.atom_dit_encoder(
+            ba, None, t, None, beta, cached_bias=bias_cache["atom_enc"]
         )
 
         # downscale (:205-212)
         pooled = segment_mean_pool(
-            jax.nn.silu(Linear(self.c_s, dtype=self.dtype, name="linear_downscale")(ba)),
-            token_id_to_chunk_sizes,
+            jax.nn.silu(self.linear_downscale(ba)), token_id_to_chunk_sizes
         )
         bs = pooled + s[None].astype(pooled.dtype)
 
-        bs = DiT(no_blocks=self.no_blocks_dit, name="token_dit", **akw)(
-            bs, z, t, z_mask, None
+        bs = self.token_dit(
+            bs, None, t, None, None, cached_bias=bias_cache["token"]
         )
 
         # upscale (:214-216)
         ba = ba + jnp.take(
-            Linear(self.c_a, dtype=self.dtype, name="linear_upscale")(bs),
-            atom_id_to_token_id,
-            axis=-2,
+            self.linear_upscale(bs), atom_id_to_token_id, axis=-2
         ).astype(jnp.float32)
 
-        ba = DiT(no_blocks=self.no_blocks_atom, name="atom_dit_decoder", **akw)(
-            ba, ap, t, ap_mask, beta
+        ba = self.atom_dit_decoder(
+            ba, None, t, None, beta, cached_bias=bias_cache["atom_dec"]
         )
 
         # denoise (:228-233)
-        r = Linear(3, use_bias=False, dtype=self.dtype, name="linear_r")(
-            LayerNorm(eps=self.eps, dtype=self.dtype, name="norm_r")(ba)
-        ).astype(jnp.float32)
+        r = self.linear_r(self.norm_r(ba)).astype(jnp.float32)
         c_skip = (self.sigma_data**2 / (self.sigma_data**2 + t_hat**2))[:, None, None]
         c_out = (
             self.sigma_data * t_hat / jnp.sqrt(self.sigma_data**2 + t_hat**2)
