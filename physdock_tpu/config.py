@@ -73,6 +73,11 @@ class ModelConfig:
     num_augmentation_sample: int = 48
     # distogram head
     no_distogram_bins: int = 39
+    # training-era options (reference configs_old.py:4-47; release defaults)
+    num_recycles: int = 0
+    use_mini_rollout: bool = False
+    atom_attention_type: str = "sequence"  # "sequence" | "spatial"
+    interaction_aware: bool = False
 
     @classmethod
     def preset(cls, name: str, **overrides) -> "ModelConfig":

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from physdock_tpu.config import ModelConfig
 from physdock_tpu.nn.conditioning import DiffusionConditioning
+from physdock_tpu.nn.confidence import ConfidenceModule
 from physdock_tpu.nn.primitives import Linear
 from physdock_tpu.nn.transformers import AF3DiT
 from physdock_tpu.utils.geometry import centre_random_augmentation
@@ -32,6 +33,7 @@ class PhysDock(nn.Module):
     cfg: ModelConfig
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    with_confidence: bool = False
 
     def setup(self):
         c = self.cfg
@@ -69,6 +71,21 @@ class PhysDock(nn.Module):
         self.linear_distogram = Linear(
             c.no_distogram_bins, init="final", dtype=self.dtype
         )
+        if self.with_confidence:
+            # optional PAE/PDE/pLDDT head (commented out of the released
+            # module tree — reference model.py:15,68 — but wired in the
+            # training config; enables fused VS ranking when trained)
+            self.confidence_module = ConfidenceModule(
+                c_a=c.c_a,
+                c_ap=c.c_ap,
+                c_z=c.c_z,
+                no_blocks_heads=c.no_blocks_heads,
+                no_blocks_atom=c.no_blocks_atom,
+                inf=c.inf,
+                eps=c.eps,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+            )
 
     def conditioning(self, batch: Batch):
         return self.diffusion_conditioning(batch)
@@ -95,6 +112,22 @@ class PhysDock(nn.Module):
         return self.dit.compute_bias_cache(
             ap, z, batch["ap_mask"], batch["z_mask"]
         )
+
+    def init_all(self, batch: Batch, key):
+        """Initialization entry creating ALL params (incl. the optional
+        confidence head, which the training forward alone doesn't touch)."""
+        out = self(batch, key)
+        if self.with_confidence:
+            a, ap, s, z = self.diffusion_conditioning(batch)
+            out["p_pae"], out["p_pde"], out["p_plddt"] = self.confidence_module(
+                batch, s, z, out["x_denoised"][:1]
+            )
+        return out
+
+    def confidence(self, batch: Batch, s, z, x_pred):
+        """PAE/PDE/pLDDT logits from conditioning + predicted coords
+        (requires with_confidence=True)."""
+        return self.confidence_module(batch, s, z, x_pred)
 
     def distogram(self, z):
         p = self.linear_distogram(z).astype(jnp.float32)

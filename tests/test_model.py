@@ -106,3 +106,23 @@ def test_padding_invariance(toy_config):
     a2, _, s2, z2 = model.apply(params, _to_jnp(g), method="conditioning")
     assert np.array_equal(np.asarray(a1[:36]), np.asarray(a2[:36]))
     assert np.array_equal(np.asarray(s1[:12]), np.asarray(s2[:12]))
+
+
+def test_confidence_head(toy_config, tiny_batch):
+    """Optional confidence head: init_all creates its params; PAE/PDE/pLDDT
+    shapes match the reference heads (confidence_module.py:40-53)."""
+    model = PhysDock(cfg=toy_config.model, attn_impl="xla", with_confidence=True)
+    batch = _to_jnp(tiny_batch)
+    params = model.init(
+        jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1), method="init_all"
+    )
+    s, z = model.apply(params, batch, method="conditioning")[2:]
+    A = tiny_batch["a_mask"].shape[0]
+    T = tiny_batch["s_mask"].shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, A, 3))
+    pae, pde, plddt = model.apply(params, batch, s, z, x, method="confidence")
+    assert pae.shape == (T, T, 64)
+    assert pde.shape == (T, T, 64)
+    assert plddt.shape == (A, 50)
+    for t in (pae, pde, plddt):
+        assert np.all(np.isfinite(np.asarray(t)))
