@@ -68,7 +68,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, s_k, bk):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-def flash_sdpa(q, k, v, bias):
+def flash_sdpa(q, k, v, bias, interpret: bool = False):
     """q, k, v: [..., H, S, D]; bias broadcastable to [..., H, S, S].
 
     Returns [..., H, S_q, D] in q.dtype.
@@ -113,5 +113,6 @@ def flash_sdpa(q, k, v, bias):
             (1, BQ, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        interpret=interpret,
     )(qf, kf, vf, bf)
     return out.reshape(*batch, h, s_q, d)

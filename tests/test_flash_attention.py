@@ -1,0 +1,54 @@
+"""Pallas flash-attention kernel correctness (interpreter mode on CPU).
+
+The on-chip validation lives in scripts/check_flash_tpu.py; this test runs
+the same kernel through the Pallas interpreter so CI (CPU) covers the
+kernel logic: online-softmax accumulation, bias broadcast replay, key
+tiling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physdock_tpu.ops.attention import sdpa_xla
+from physdock_tpu.ops.flash_attention import flash_sdpa
+
+
+@pytest.mark.parametrize(
+    "shape,bias_lead",
+    [
+        ((1, 2, 128, 128, 32), "full"),
+        ((2, 2, 128, 256, 32), "shared"),  # bias [H,S,S] shared over batch
+        ((1, 1, 256, 512, 64), "full"),   # multiple key tiles
+    ],
+)
+def test_flash_matches_xla_interpret(shape, bias_lead):
+    b, h, sq, sk, d = shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, sk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, sk, d), jnp.float32)
+    if bias_lead == "full":
+        bias = jax.random.normal(ks[3], (b, h, sq, sk), jnp.float32)
+    else:
+        bias = jax.random.normal(ks[3], (h, sq, sk), jnp.float32)
+    ref = sdpa_xla(q, k, v, bias)
+    out = flash_sdpa(q, k, v, bias, interpret=True)
+    assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-5), (
+        np.abs(np.asarray(ref) - np.asarray(out)).max()
+    )
+
+
+def test_flash_masked_rows_interpret():
+    """-1e9 masked keys vanish; fully-masked rows stay finite."""
+    b, h, s, d = 1, 1, 128, 32
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    bias = jnp.zeros((b, h, s, s)).at[..., 64:].set(-1e9)
+    out = flash_sdpa(q, k, v, bias, interpret=True)
+    ref = sdpa_xla(q, k, v, bias)
+    assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+    assert np.all(np.isfinite(np.asarray(out)))
