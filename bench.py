@@ -39,7 +39,7 @@ def main():
     on_tpu = platform not in ("cpu",)
 
     n_tokens, n_atoms, n_msa = (256, 2048, 128) if on_tpu else (32, 96, 8)
-    num_sample = 5 if on_tpu else 2
+    num_sample = 20 if on_tpu else 2  # reference demo: 20 samples/round
     steps = 40 if on_tpu else 4
     model_name = "medium" if on_tpu else "toy"
 
