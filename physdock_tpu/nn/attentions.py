@@ -261,12 +261,16 @@ class DiTAttention(nn.Module):
         self.linear_o = Linear(self.c_s, dtype=self.dtype)
 
     def compute_bias(self, z, z_mask):
-        """[H, S, S] pair bias incl. the additive mask (cacheable)."""
+        """[H, S, S] pair bias incl. the additive mask (cacheable).
+
+        Stored in the compute dtype: bf16 halves the per-step HBM read of
+        the cached biases (-1e9 mask values are exactly representable
+        enough — softmax only needs them <<-1e4)."""
         bias = jnp.moveaxis(self.linear_z(self.norm_z(z)), -1, -3)
         return (
             bias.astype(jnp.float32)
             + gen_attn_mask(z_mask.astype(jnp.float32), -self.inf)[None]
-        )
+        ).astype(self.dtype)
 
     def __call__(self, bs, z, t, z_mask, beta=None, cached_bias=None):
         h = self.c_s // C_HIDDEN
@@ -276,12 +280,11 @@ class DiTAttention(nn.Module):
         k = self.norm_k(_split_heads(self.linear_k(bs_norm), h))
         v = _split_heads(self.linear_v(bs_norm), h)
 
-        if cached_bias is None:
-            bias = self.compute_bias(z, z_mask)[None]
-        else:
-            bias = cached_bias[None]
+        bias = cached_bias if cached_bias is not None else self.compute_bias(z, z_mask)
         if beta is not None:
-            bias = bias + beta[:, None, :, :].astype(bias.dtype)
+            bias = bias[None] + beta[:, None, :, :].astype(bias.dtype)
+        # else: keep the shared [H, S, S] bias 3-D so the dispatcher can pick
+        # the sample-grouped kernel (bias loaded once for all samples)
 
         o = _merge_heads(dot_product_attention(q, k, v, bias, impl=self.attn_impl))
         o = self.linear_o(o).astype(jnp.float32)

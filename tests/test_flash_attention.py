@@ -52,3 +52,20 @@ def test_flash_masked_rows_interpret():
     ref = sdpa_xla(q, k, v, bias)
     assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_grouped_flash_matches_xla_interpret():
+    """Sample-grouped kernel: one [H,S,S] bias shared by a sample batch."""
+    from physdock_tpu.ops.flash_attention_grouped import flash_sdpa_grouped
+
+    b, h, s, d = 4, 2, 128, 32
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    bias = jax.random.normal(ks[3], (h, s, s), jnp.float32)
+    ref = sdpa_xla(q, k, v, bias)
+    out = flash_sdpa_grouped(q, k, v, bias, interpret=True)
+    assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-5), (
+        np.abs(np.asarray(ref) - np.asarray(out)).max()
+    )
