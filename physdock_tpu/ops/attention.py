@@ -59,18 +59,14 @@ def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
                 # sample-grouped kernel when one [H,S,S] bias is shared by a
                 # leading sample batch: loads each bias tile once instead of
                 # once per sample (dominant HBM saving in the denoiser)
-                if (
-                    bias is not None
-                    and bias.ndim == 3
-                    and q.ndim == 4
-                    and q.shape[0] > 1
-                    and _grouped_fits_vmem(q.shape, s_k)
-                ):
+                if bias is not None and bias.ndim == 3 and q.ndim == 4 and q.shape[0] > 1:
                     from physdock_tpu.ops.flash_attention_grouped import (
                         flash_sdpa_grouped,
+                        pick_group_size,
                     )
 
-                    return flash_sdpa_grouped(q, k, v, bias)
+                    if pick_group_size(q.shape[0], s_k, d, q.dtype.itemsize) > 1:
+                        return flash_sdpa_grouped(q, k, v, bias)
                 from physdock_tpu.ops.flash_attention import flash_sdpa
 
                 return flash_sdpa(q, k, v, bias)
@@ -80,11 +76,3 @@ def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
         return sdpa_xla(q, k, v, bias)
     raise ValueError(f"unknown attention impl: {impl}")
 
-
-def _grouped_fits_vmem(q_shape, s_k, budget_bytes: int = 9_000_000) -> bool:
-    n_batch, _, _, d = q_shape
-    itemsize = 2  # bf16/fp32 mix; conservative sizing below doubles buffers
-    kv = 2 * n_batch * s_k * d * itemsize
-    q_tile = n_batch * 128 * d * itemsize
-    bias_tile = 128 * s_k * 4
-    return 2 * (kv + q_tile + bias_tile) < budget_bytes

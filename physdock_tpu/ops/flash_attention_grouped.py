@@ -5,12 +5,10 @@ IDENTICAL across samples (one [H, S, S] bias per block).  The plain flash
 kernel (ops/flash_attention.py) re-reads the bias tile for every sample —
 at 20 samples x 2048 atoms that bias traffic dominates sampler HBM time.
 
-This kernel's grid is (heads, q_tiles); each program loads one bias tile
-once and loops over the B samples in VMEM, so bias traffic drops by a
-factor of B.  q/k/v are laid out [B, H, S, D] and blocked (B, 1, tile, D).
-
-VMEM budget at B=20, S=2048, D=32, bf16: k+v 5.2 MB + q 2.6 MB + bias tile
-1 MB + accumulators — fits comfortably.
+This kernel grids over (sample_chunks, heads, q_tiles); each program loads
+one bias tile and loops over G samples in VMEM, cutting bias reads by G.
+G is chosen to fit VMEM — note the lane dim pads D=32 up to 128, so a
+[G, S, D] block really costs G*S*128*itemsize.
 """
 
 from __future__ import annotations
@@ -24,6 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BQ = 128
+_VMEM_BUDGET = 10_000_000  # leave headroom under the 16MB scoped limit
 
 
 def _pick_bk(s_k: int) -> int:
@@ -33,7 +32,25 @@ def _pick_bk(s_k: int) -> int:
     raise ValueError(f"s_k={s_k} must be a multiple of 128")
 
 
-def _kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, s_k, bk, n_batch):
+def pick_group_size(n_batch: int, s_k: int, d: int, itemsize: int = 2) -> int:
+    """Largest divisor of n_batch whose buffers fit the VMEM budget."""
+    d_padded = max(d, 128)  # lane padding
+    bias_cost = 2 * BQ * s_k * itemsize  # double-buffered bias tile
+
+    def cost(g):
+        kv = 2 * 2 * g * s_k * d_padded * itemsize  # k+v, double-buffered
+        qo = 2 * 2 * g * BQ * d_padded * itemsize  # q + out blocks
+        return kv + qo + bias_cost
+
+    for g in sorted(
+        {x for x in range(1, n_batch + 1) if n_batch % x == 0}, reverse=True
+    ):
+        if cost(g) < _VMEM_BUDGET:
+            return g
+    return 0
+
+
+def _kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, s_k, bk, group):
     BK = bk
     num_k = s_k // BK
 
@@ -69,7 +86,7 @@ def _kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, s_k, bk, n_batch):
         o_ref[s, 0] = (acc / l).astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, n_batch, per_sample, 0)
+    jax.lax.fori_loop(0, group, per_sample, 0)
 
 
 def flash_sdpa_grouped(q, k, v, bias, interpret: bool = False):
@@ -80,34 +97,38 @@ def flash_sdpa_grouped(q, k, v, bias, interpret: bool = False):
     n_batch, h, s_q, d = q.shape
     s_k = k.shape[-2]
     assert bias.shape == (h, s_q, s_k), (bias.shape, (h, s_q, s_k))
+    group = pick_group_size(n_batch, s_k, d, q.dtype.itemsize)
+    if group == 0:
+        raise ValueError("no sample group size fits VMEM")
 
-    grid = (h, s_q // BQ)
+    grid = (n_batch // group, h, s_q // BQ)
     bk = _pick_bk(s_k)
     kernel = functools.partial(
-        _kernel, scale=1.0 / math.sqrt(d), s_k=s_k, bk=bk, n_batch=n_batch
+        _kernel, scale=1.0 / math.sqrt(d), s_k=s_k, bk=bk, group=group
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (n_batch, 1, BQ, d), lambda hh, i: (0, hh, i, 0),
+                (group, 1, BQ, d), lambda g, hh, i: (g, hh, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_batch, 1, s_k, d), lambda hh, i: (0, hh, 0, 0),
+                (group, 1, s_k, d), lambda g, hh, i: (g, hh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_batch, 1, s_k, d), lambda hh, i: (0, hh, 0, 0),
+                (group, 1, s_k, d), lambda g, hh, i: (g, hh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, BQ, s_k), lambda hh, i: (hh, i, 0), memory_space=pltpu.VMEM
+                (1, BQ, s_k), lambda g, hh, i: (hh, i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (n_batch, 1, BQ, d), lambda hh, i: (0, hh, i, 0),
+            (group, 1, BQ, d), lambda g, hh, i: (g, hh, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n_batch, h, s_q, d), q.dtype),
