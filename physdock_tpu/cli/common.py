@@ -70,6 +70,7 @@ def build_pipeline(args):
         uniprot_msa_features_dir=args.uniprot_msa_features_dir,
         inference_mode=True,
         seed=args.seed,
+        use_x_gt_ligand_as_ref_pos=args.ebable_x_gt_ligand_as_ref_pos,
     )
     params = load_params(args.params, cfg)
     settings = SamplerSettings(

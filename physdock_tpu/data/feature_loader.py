@@ -92,6 +92,7 @@ class SystemFeaturizer:
         inference_mode: bool = True,
         seed: Optional[int] = None,
         pad_to_bucket: bool = True,
+        use_x_gt_ligand_as_ref_pos: bool = False,
     ):
         self.cfg = config or DataConfig()
         self.ccd = ccd or CCDLibrary()
@@ -100,6 +101,9 @@ class SystemFeaturizer:
         self.inference_mode = inference_mode
         self.rng = np.random.default_rng(seed)
         self.pad_to_bucket = pad_to_bucket
+        # GT-conformer ablation (reference redocking.py:79-82,
+        # feature_loader.py:720-723): ligand ref_pos = centred GT coords
+        self.use_x_gt_ligand_as_ref_pos = use_x_gt_ligand_as_ref_pos
         self.missing_msa: List[Tuple[str, str]] = []  # (md5, sequence)
 
     # ------------------------------------------------------------------ load
@@ -700,6 +704,12 @@ class SystemFeaturizer:
         dele = dele[:, tok_conf]
         feats["msa"] = msa
         feats["deletion_matrix"] = dele
+
+        if self.use_x_gt_ligand_as_ref_pos:
+            lig_atoms = np.asarray(conf_feats["is_ligand"])[atom_conf] > 0
+            if lig_atoms.any():
+                lig_gt = feats["x_gt"][lig_atoms]
+                feats["ref_pos"][lig_atoms] = lig_gt - lig_gt.mean(0)
 
         # per-conformer random SE(3) on ref_pos (feature_loader.py:741-743)
         feats["ref_pos"] = _per_conformer_rigid_augment(
