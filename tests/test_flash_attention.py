@@ -69,3 +69,26 @@ def test_grouped_flash_matches_xla_interpret():
     assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-5), (
         np.abs(np.asarray(ref) - np.asarray(out)).max()
     )
+
+
+def test_folded_flash_matches_xla_interpret():
+    """Head-folded layout kernel ([B, S, H*D], per-head lane slicing)."""
+    from physdock_tpu.ops.flash_attention_folded import flash_sdpa_folded
+
+    b, h, s, d = 4, 4, 128, 32
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    qh = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    kh = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    vh = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    bias = jax.random.normal(ks[3], (h, s, s), jnp.float32)
+    ref = sdpa_xla(qh, kh, vh, bias)
+
+    def fold(x):  # [B,H,S,D] -> [B,S,H*D]
+        return jnp.swapaxes(x, 1, 2).reshape(b, s, h * d)
+
+    out = flash_sdpa_folded(fold(qh), fold(kh), fold(vh), bias, num_heads=h,
+                            interpret=True)
+    out = jnp.swapaxes(out.reshape(b, s, h, d), 1, 2)
+    assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-5), (
+        np.abs(np.asarray(ref) - np.asarray(out)).max()
+    )
