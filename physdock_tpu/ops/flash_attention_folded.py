@@ -6,8 +6,12 @@ q/k/v in their natural projection layout [B, S, H*D] (H*D is 128 or 512
 here — no padding), slices per-head lanes INSIDE VMEM, and shares the
 [H, S, S] bias across the sample batch like the grouped kernel.
 
-Not yet wired into the dispatcher: adopt after on-chip timing shows a win
-over flash_sdpa_grouped (see NOTES_ROUND2.md).
+STATUS (round 1): passes interpreter-mode parity but Mosaic REJECTS the
+32-wide lane slices on real TPU ("cannot statically prove that index in
+dimension 2 is a multiple of 128" — lane slicing must be 128-aligned).
+Round-2 redesign: per-head logits via masked full-K matmuls
+(q_full @ (k_full * head_mask)^T), which also fills the MXU's K dimension.
+Not wired into the dispatcher.
 """
 
 from __future__ import annotations
