@@ -42,6 +42,52 @@ def _on_tpu() -> bool:
         return False
 
 
+# --- differentiable wrappers -------------------------------------------------
+# pallas_call has no autodiff rule; training must flow gradients through the
+# attention. Forward runs the Pallas kernel; backward recomputes via the XLA
+# reference semantics (flash-style recompute — no probs stored).
+
+
+@jax.custom_vjp
+def _flash_diff(q, k, v, bias):
+    from physdock_tpu.ops.flash_attention import flash_sdpa
+
+    return flash_sdpa(q, k, v, bias)
+
+
+def _flash_diff_fwd(q, k, v, bias):
+    return _flash_diff(q, k, v, bias), (q, k, v, bias)
+
+
+def _flash_diff_bwd(res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(sdpa_xla, q, k, v, bias)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+@jax.custom_vjp
+def _grouped_diff(q, k, v, bias):
+    from physdock_tpu.ops.flash_attention_grouped import flash_sdpa_grouped
+
+    return flash_sdpa_grouped(q, k, v, bias)
+
+
+def _grouped_diff_fwd(q, k, v, bias):
+    return _grouped_diff(q, k, v, bias), (q, k, v, bias)
+
+
+def _grouped_diff_bwd(res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(sdpa_xla, q, k, v, bias)
+    return vjp(g)
+
+
+_grouped_diff.defvjp(_grouped_diff_fwd, _grouped_diff_bwd)
+
+
 def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
     """Dispatching attention entry point.
 
@@ -56,20 +102,18 @@ def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
         )
         if (impl == "flash" or _on_tpu()) and tileable:
             try:
+                b = bias if bias is not None else jnp.zeros((1, s_q, s_k), q.dtype)
                 # sample-grouped kernel when one [H,S,S] bias is shared by a
                 # leading sample batch: loads each bias tile once instead of
                 # once per sample (dominant HBM saving in the denoiser)
-                if bias is not None and bias.ndim == 3 and q.ndim == 4 and q.shape[0] > 1:
+                if b.ndim == 3 and q.ndim == 4 and q.shape[0] > 1:
                     from physdock_tpu.ops.flash_attention_grouped import (
-                        flash_sdpa_grouped,
                         pick_group_size,
                     )
 
                     if pick_group_size(q.shape[0], s_k, d, q.dtype.itemsize) > 1:
-                        return flash_sdpa_grouped(q, k, v, bias)
-                from physdock_tpu.ops.flash_attention import flash_sdpa
-
-                return flash_sdpa(q, k, v, bias)
+                        return _grouped_diff(q, k, v, b)
+                return _flash_diff(q, k, v, b)
             except Exception:
                 if impl == "flash":
                     raise
