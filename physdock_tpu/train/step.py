@@ -103,8 +103,10 @@ def make_train_step(
         check_vma=False,
     )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict, key) -> Tuple[TrainState, Dict]:
+        # donating the state buffers lets XLA update params/opt/EMA in place
+        # (and keeps input/output layouts identical -> no second compile)
         grads, logs = sharded_grads(state.params, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -47,6 +47,8 @@ def test_sharded_train_step_8_devices(toy_config):
     batch = jax.device_put(batch, batch_sharding(mesh))
     micro = {k: jnp.asarray(v) for k, v in single.items()}
     params = model.init(jax.random.PRNGKey(0), micro, jax.random.PRNGKey(1))
+    # state buffers are DONATED by the step: snapshot before stepping
+    params0 = jax.tree_util.tree_map(np.asarray, params)
     state = init_train_state(params, optimizer)
     step = make_train_step(model, optimizer, toy_config.loss, mesh)
 
@@ -55,19 +57,19 @@ def test_sharded_train_step_8_devices(toy_config):
     assert np.isfinite(float(logs["loss"]))
     # params actually moved
     delta = sum(
-        float(jnp.sum(jnp.abs(a - b)))
+        float(jnp.sum(jnp.abs(a - jnp.asarray(b))))
         for a, b in zip(
             jax.tree_util.tree_leaves(state.params),
-            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(params0),
         )
     )
     assert delta > 0
     # EMA lags params
     ema_delta = sum(
-        float(jnp.sum(jnp.abs(a - b)))
+        float(jnp.sum(jnp.abs(a - jnp.asarray(b))))
         for a, b in zip(
             jax.tree_util.tree_leaves(state.ema_params),
-            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(params0),
         )
     )
     assert 0 < ema_delta < delta
