@@ -4,8 +4,7 @@
 from __future__ import annotations
 
 import argparse
-import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

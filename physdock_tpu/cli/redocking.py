@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-import sys
 
 from physdock_tpu.cli.common import add_common_flags, build_pipeline
 from physdock_tpu.utils.io import dump_json

@@ -9,7 +9,7 @@ line up; everything else (dtype policy, bucketing, mesh) is TPU-specific.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -10,12 +10,11 @@ explicit path and are availability-gated (`.available`).
 from __future__ import annotations
 
 import dataclasses
-import glob
 import os
 import shutil
 import subprocess
 import tempfile
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 
 class ToolError(RuntimeError):

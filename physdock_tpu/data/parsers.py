@@ -8,7 +8,7 @@ reference data/generate_system.py:64-98.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -8,11 +8,11 @@ the compile-check entry point, and bench.py.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 
-from physdock_tpu.data.schema import FEATURE_SCHEMA, INT_FEATURES, validate_batch
+from physdock_tpu.data.schema import FEATURE_SCHEMA, validate_batch
 
 
 def make_synthetic_batch(

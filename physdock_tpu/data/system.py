@@ -15,8 +15,8 @@ import numpy as np
 
 from physdock_tpu.data.ccd import CCDLibrary, ligand_entry
 from physdock_tpu.data.constants import restypes as rc
-from physdock_tpu.data.mol import Molecule, read_sdf
-from physdock_tpu.data.parsers import chain_sequence, parse_pdb
+from physdock_tpu.data.mol import read_sdf
+from physdock_tpu.data.parsers import parse_pdb
 from physdock_tpu.utils.io import dump_pkl, dump_txt, protein_msa_key
 
 

@@ -21,21 +21,20 @@ import dataclasses
 import functools
 import os
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from physdock_tpu.config import PhysDockConfig
-from physdock_tpu.data.feature_loader import SystemFeaturizer, make_msa_feat
+from physdock_tpu.data.feature_loader import SystemFeaturizer
 from physdock_tpu.data.embed import generate_conformers
 from physdock_tpu.infer import ranking as ranking_lib
 from physdock_tpu.infer import writers
 from physdock_tpu.model.diffusion import PhysicsGuidance, sample_diffusion
 from physdock_tpu.model.forcefield import build_ligand_ff, chirality_correct
 from physdock_tpu.model.physdock import PhysDock
-from physdock_tpu.utils.geometry import rmsd, weighted_rigid_align
 from physdock_tpu.utils.io import dump_json
 
 

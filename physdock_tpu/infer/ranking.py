@@ -8,7 +8,7 @@ medoid.  Falls back to a dependency-free KMeans when sklearn is absent.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ relaxation.get_bust_results (reference: data/relaxation.py:29-50).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

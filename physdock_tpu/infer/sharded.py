@@ -9,10 +9,7 @@ sampling scan on its sample shard, zero collectives in steady state.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from physdock_tpu.model.diffusion import sample_diffusion

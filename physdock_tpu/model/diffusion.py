@@ -20,7 +20,7 @@ Randomness is explicit: one PRNG key in, split per step inside the scan.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

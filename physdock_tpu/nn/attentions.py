@@ -12,7 +12,7 @@ Pallas flash kernel can take over on TPU.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,7 @@ denoiser; runs once per system (not per diffusion step).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

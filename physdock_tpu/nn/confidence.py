@@ -9,7 +9,7 @@ trained confidence head enables fused VS ranking (BASELINE north star).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ The init zoo matches primitives/linear.py:96-145:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ reference's per-block `torch.utils.checkpoint` at transformers.py:35,68,
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

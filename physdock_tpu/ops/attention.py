@@ -17,9 +17,6 @@ Softmax statistics are always fp32.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ Not wired into the dispatcher.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -7,7 +7,7 @@ N updates keeping K, store both raw and EMA params, resume picks EMA first.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

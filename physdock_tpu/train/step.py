@@ -16,7 +16,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from physdock_tpu.config import LossConfig
 from physdock_tpu.model.losses import physdock_loss

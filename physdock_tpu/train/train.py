@@ -16,7 +16,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from physdock_tpu.config import PhysDockConfig
 from physdock_tpu.data.feature_loader import SystemFeaturizer
