@@ -6,13 +6,13 @@ for TPU: everything per-step lives in one jitted lax.scan (conditioning +
 sampling + chirality checks on device); the host only handles the few-round
 accept/reject loop, adaptive step-scale, IO and ranking.
 
-Round protocol (reference redocking.py:181-345):
-  * each round resamples MSA clusters, runs `num_samples_per_round` poses,
-    checks ligand chirality, keeps passing samples;
-  * adaptive eta: factor *= 1.15 if any sample passed else *= 0.7 (floored
-    at 1), feeding mmff_gamma_0_factor of the next round — a traced scalar
-    here, so no recompile across rounds;
-  * stops when `max_samples` accepted or `max_rounds` exhausted.
+Round protocol (reference redocking.py:181-345) lives in
+`infer/rounds.RoundProtocol`: round 0 unguided at high sigma (FF-only),
+per-round conformer-bank rebuild from accepted ligand poses + epsilon-top
+conformer refill, bounded reject backfill, adaptive eta.  The bank is a
+STATIC [max_samples, L, 3] scan input swapped host-side per round, and the
+adaptive factor is a traced scalar — so the whole multi-round dock costs
+at most two compiles (round-0 variant + banked variant) per bucket.
 """
 
 from __future__ import annotations
@@ -32,6 +32,7 @@ from physdock_tpu.data.feature_loader import SystemFeaturizer
 from physdock_tpu.data.embed import generate_conformers
 from physdock_tpu.infer import ranking as ranking_lib
 from physdock_tpu.infer import writers
+from physdock_tpu.infer.rounds import RoundProtocol, pairwise
 from physdock_tpu.model.diffusion import PhysicsGuidance, sample_diffusion
 from physdock_tpu.model.forcefield import build_ligand_ff, chirality_correct
 from physdock_tpu.model.physdock import PhysDock
@@ -83,11 +84,14 @@ class DockingPipeline:
 
     # ------------------------------------------------------------- sampling
 
-    def _sample_fn(self, guided: bool):
+    def _sample_fn(self):
         s = self.s
 
-        @functools.partial(jax.jit, static_argnames=("num_sample",))
-        def fn(params, batch, key, conditioning, guidance, factor, num_sample):
+        @functools.partial(jax.jit, static_argnames=("num_sample", "use_bank"))
+        def fn(
+            params, batch, key, conditioning, guidance, factor, num_sample,
+            use_bank,
+        ):
             return sample_diffusion(
                 self.model,
                 params,
@@ -100,25 +104,32 @@ class DockingPipeline:
                 noise_scale_lambda=s.noise_scale_lambda,
                 step_scale_eta=s.step_scale_eta,
                 karras_rho=s.rho,
-                guidance=guidance if guided else None,
+                guidance=guidance,
                 mmff_gamma_0_factor=factor,
                 mmff_iters=s.mmff_iters,
-                align_ref_pos=guided,
+                align_ref_pos=use_bank,
                 conditioning=conditioning,
             )
 
         return fn
 
-    def _build_guidance(self, batch, meta) -> Optional[PhysicsGuidance]:
+    def _build_guidance(self, batch, meta):
+        """Returns (PhysicsGuidance template, original conformer bank).
+
+        The guidance's conf arrays are BANK-shaped ([max_samples, L, ...]) —
+        the per-round adaptive bank is swapped in via dataclasses.replace
+        with identical shapes (zero recompiles across rounds).  The full
+        ETKDG-style bank ([num_confs, L, 3]) is returned separately for the
+        RoundProtocol's host-side epsilon ranking.
+        """
         mol = meta.get("ref_mol")
         lig_idx = np.asarray(meta["ligand_atom_idx"])
         if mol is None or len(lig_idx) == 0 or mol.num_atoms != len(lig_idx):
-            return None
+            return None, None
         confs = generate_conformers(
             mol, num_confs=self.s.num_confs, base_coords=mol.coords,
             rng=np.random.default_rng(self.s.seed),
         )
-        dists = np.linalg.norm(confs[:, :, None] - confs[:, None], axis=-1)
         ff = build_ligand_ff(
             mol.atomic_numbers.tolist(),
             [(i, j) for i, j, _ in mol.bonds],
@@ -129,14 +140,16 @@ class DockingPipeline:
         L = mol.num_atoms
         idx = np.full(L, n_atoms, np.int32)  # pad -> out-of-range (dropped)
         idx[: len(lig_idx)] = lig_idx
-        return PhysicsGuidance(
+        K = self.s.max_samples
+        guidance = PhysicsGuidance(
             ligand_idx=jnp.asarray(idx),
             ligand_mask=jnp.ones(L, jnp.float32),
-            conf_pos=jnp.asarray(confs),
-            conf_dists=jnp.asarray(dists),
-            conf_mask=jnp.ones(len(confs), jnp.float32),
+            conf_pos=jnp.zeros((K, L, 3), jnp.float32),
+            conf_dists=jnp.zeros((K, L, L), jnp.float32),
+            conf_mask=jnp.zeros((K,), jnp.float32),
             ff=ff,
         )
+        return guidance, confs
 
     # ------------------------------------------------------------- dock one
 
@@ -162,19 +175,33 @@ class DockingPipeline:
         )
         batch = {k: jnp.asarray(v) for k, v in feats.items()}
         batch_msa_feat = meta.pop("batch_msa_feat", None)
-        guidance = self._build_guidance(batch, meta) if s.enable_physics_correction else None
+        if s.enable_physics_correction:
+            guidance, conf_bank = self._build_guidance(batch, meta)
+        else:
+            guidance, conf_bank = None, None
         guided = guidance is not None
-        sample_fn = self._sample_fn(guided)
+        sample_fn = self._sample_fn()
 
         lig_idx = np.asarray(meta["ligand_atom_idx"])
         x_gt = np.asarray(feats["x_gt"])
         key = jax.random.PRNGKey(s.seed)
 
-        accepted: List[np.ndarray] = []
-        factor = float(s.eta)
+        protocol = None
+        if guided:
+            gt_lig = None
+            if getattr(self.featurizer, "use_x_gt_ligand_as_ref_pos", False):
+                gt_lig = x_gt[lig_idx]  # ablation (redocking.py:293)
+            protocol = RoundProtocol(
+                conf_bank,
+                max_samples=s.max_samples,
+                num_samples_per_round=s.num_samples_per_round,
+                eta_start=s.eta,
+                gt_ligand=gt_lig,
+            )
         t_feat = time.time() - t_start
         rounds_run = 0
-        for rnd in range(s.max_rounds):
+        x = None
+        for rnd in range(s.max_rounds if guided else 1):
             rounds_run += 1
             key, k_round = jax.random.split(key)
             if batch_msa_feat is not None:
@@ -182,29 +209,46 @@ class DockingPipeline:
                 # same shape every round -> single compile
                 batch["msa_feat"] = jnp.asarray(batch_msa_feat[rnd % len(batch_msa_feat)])
             conditioning = self._jit_cond(self.params, batch)
-            x = sample_fn(
-                self.params,
-                batch,
-                k_round,
-                conditioning,
-                guidance,
-                jnp.float32(factor),
-                s.num_samples_per_round,
+            # round 0: unguided at high sigma (align_ref_pos=recycle_id>0,
+            # redocking.py:290); FF relaxation at low sigma stays on.
+            bank = protocol.bank(rnd) if guided else None
+            if bank is not None:
+                pos, mask = bank
+                g = dataclasses.replace(
+                    guidance,
+                    conf_pos=jnp.asarray(pos),
+                    conf_dists=jnp.asarray(pairwise(pos)),
+                    conf_mask=jnp.asarray(mask),
+                )
+                use_bank = True
+            else:
+                g, use_bank = guidance, False
+            x = np.asarray(
+                sample_fn(
+                    self.params,
+                    batch,
+                    k_round,
+                    conditioning,
+                    g,
+                    jnp.float32(protocol.factor if guided else s.eta),
+                    s.num_samples_per_round,
+                    use_bank,
+                )
             )
-            x = np.asarray(x)
             if guided and guidance.ff is not None and len(lig_idx):
                 ok = np.asarray(
                     chirality_correct(jnp.asarray(x[:, lig_idx]), guidance.ff)
                 )
             else:
                 ok = np.ones(len(x), bool)
-            accepted += [x[i] for i in range(len(x)) if ok[i]]
-            factor = max(1.0, factor * (1.15 if ok.any() else 0.7))
-            if not guided or len(accepted) >= s.max_samples:
+            if not guided:
                 break
-        if not accepted:
-            accepted = [np.asarray(x[i]) for i in range(len(x))]
-        poses = np.stack(accepted[: s.max_samples])
+            protocol.update(x, x[:, lig_idx], ok)
+            if protocol.done:
+                break
+        poses = (
+            protocol.final_poses() if guided else np.asarray(x)[: s.max_samples]
+        )
 
         # align to GT pocket-CA frame
         centre_ids = np.asarray(feats["token_id_to_centre_atom_id"])
