@@ -15,6 +15,9 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--params", default=None, help="checkpoint (.pt torch or orbax dir)")
     p.add_argument("--model_name", default="medium",
                    choices=["toy", "tiny", "small", "medium", "full"])
+    p.add_argument("--ccd_blob", default=None,
+                   help="external ccd_id_meta_data.pkl.gz (reference-"
+                        "compatible schema) for ligand CCD chemistry")
     p.add_argument("--msa_features_dir", default=None)
     p.add_argument("--uniprot_msa_features_dir", default=None)
     p.add_argument("--max_samples", type=int, default=5)
@@ -63,8 +66,11 @@ def build_pipeline(args):
         infer_use_key_res=args.use_key_res,
         key_res_random_mask_ratio=args.key_res_random_mask_ratio,
     )
+    from physdock_tpu.data.ccd import CCDLibrary
+
     featurizer = SystemFeaturizer(
         cfg.data,
+        ccd=CCDLibrary(args.ccd_blob) if args.ccd_blob else None,
         msa_features_dir=args.msa_features_dir,
         uniprot_msa_features_dir=args.uniprot_msa_features_dir,
         inference_mode=True,

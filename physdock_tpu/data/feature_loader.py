@@ -25,6 +25,7 @@ System pkl schema (generate_system; matches the reference demo files):
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from typing import Dict, List, Optional, Tuple
 
@@ -36,6 +37,7 @@ from physdock_tpu.data.ccd import (
     CCDLibrary,
     assemble_ref_feat,
     assemble_rel_tok_feat,
+    entry_from_positions,
     ligand_entry,
 )
 from physdock_tpu.data.constants import restypes as rc
@@ -99,6 +101,7 @@ class SystemFeaturizer:
         self.msa_features_dir = msa_features_dir
         self.uniprot_msa_features_dir = uniprot_msa_features_dir
         self.inference_mode = inference_mode
+        self.seed = 0 if seed is None else int(seed)
         self.rng = np.random.default_rng(seed)
         self.pad_to_bucket = pad_to_bucket
         # GT-conformer ablation (reference redocking.py:79-82,
@@ -164,9 +167,31 @@ class SystemFeaturizer:
                 chain = dict(system[cid])
                 chains[cid] = chain
                 # inline ligand metadata (our generate_system) or CCD lookup
-                for ccd in chain["ccds"]:
+                for rid, ccd in enumerate(chain["ccds"]):
                     if ccd not in self.ccd and "ligand_meta" in chain:
                         self.ccd.register_ligand(ccd, chain["ligand_meta"])
+                    if ccd not in self.ccd and not rc.is_standard(ccd):
+                        # reference-prepped pkl whose CCD metadata blob is
+                        # unavailable: reconstruct approximate chemistry
+                        # from the GT coordinates (data/ccd.py)
+                        logging.warning(
+                            "CCD %r unknown — reconstructing approximate "
+                            "chemistry from coordinates (provide "
+                            "--ligand_sdf/--ligand_smi/--ccd_blob for exact "
+                            "chemistry)",
+                            ccd,
+                        )
+                        self.ccd.register_ligand(
+                            ccd,
+                            entry_from_positions(
+                                ccd,
+                                np.asarray(
+                                    chain["all_atom_positions"][rid],
+                                    np.float32,
+                                ),
+                                seed=self.seed,
+                            ),
+                        )
                 if len(ligand_ids) == 1 and len(chain["ccds"]) == 1:
                     try:
                         ref_mol = self.ccd[chain["ccds"][0]].get("ref_mol")
