@@ -1,16 +1,18 @@
-"""Benchmark: poses/sec/chip on the docking sampler (driver contract).
+"""Benchmark: guided end-to-end docking throughput (driver contract).
 
-Runs the flagship inference workload: medium model at crop 256 / 2048
-atoms, full 40-step EDM reverse pass, 5 poses per batch — structured like
-the production pipeline (conditioning jit + sampling jit, conditioning
-tensors passed as arguments; one jitted program each, NOT one fused giant
-program — the remote-compile tunnel drops over-large payloads).
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Runs the flagship workload the way the demo actually runs it
+(redocking_demo.sh config): the REAL featurizer on a PoseBusters demo
+system, medium model at crop 256 / 2048 atoms, 40-step EDM reverse pass,
+20 poses/round, physics correction ON (round 0 FF-only + round 1 with the
+adaptive conformer bank), chirality accept/reject, pocket alignment and
+ranking.  poses/s = sampled poses / wall time of a warm full dock.
 
-vs_baseline targets BASELINE.json's ">=5x an A100 running the PyTorch
-reference".  No reference throughput is published (SURVEY §6); we use a
-conservative A100 estimate of 0.02 poses/s at this config, so
-vs_baseline = poses_per_sec / (5 * 0.02).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+
+vs_baseline: the reference publishes NO throughput numbers anywhere
+(SURVEY §6, BASELINE.md).  The denominator is an ASSUMED A100 figure of
+0.02 poses/s at this config times the 5x target from BASELINE.json, and
+is labelled as assumed in the output; the honest headline is `value`.
 
 Tunnel rules (memory: axon-tpu-tunnel-gotchas): single process, no
 device-array closures in jit, scalar-readback timing, jitted init.
@@ -19,82 +21,96 @@ device-array closures in jit, scalar-readback timing, jitted init.
 from __future__ import annotations
 
 import json
+import os
 import time
 
-
-A100_REFERENCE_POSES_PER_SEC = 0.02  # conservative estimate, see docstring
+ASSUMED_A100_POSES_PER_SEC = 0.02  # assumed — nothing published (SURVEY §6)
 TARGET_MULTIPLIER = 5.0
+
+DEMO_PKL = "/root/reference/demo/redocking/Posebusters_subset/5SAK_ZRY_A_1.pkl.gz"
+DEMO_MSA = "/root/reference/demo/redocking/features"
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-
-    from physdock_tpu.config import PhysDockConfig
-    from physdock_tpu.data.synthetic import make_synthetic_batch
-    from physdock_tpu.model.diffusion import sample_diffusion
-    from physdock_tpu.model.physdock import PhysDock
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
 
-    n_tokens, n_atoms, n_msa = (256, 2048, 128) if on_tpu else (32, 96, 8)
-    num_sample = 20 if on_tpu else 2  # reference demo: 20 samples/round
-    steps = 40 if on_tpu else 4
-    model_name = "medium" if on_tpu else "toy"
+    from physdock_tpu.config import PhysDockConfig
+    from physdock_tpu.data.feature_loader import SystemFeaturizer
+    from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
+    from physdock_tpu.cli.common import load_params
 
-    cfg = PhysDockConfig.named(model_name, bf16=on_tpu, num_augmentation_sample=2)
-    model = PhysDock(cfg=cfg.model, dtype=cfg.dtypes.compute_dtype)
-    batch = {
-        k: jnp.asarray(v)
-        for k, v in make_synthetic_batch(
-            n_tokens=n_tokens, n_atoms=n_atoms, n_msa=n_msa, n_ligand_tokens=16
-        ).items()
-    }
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    if on_tpu:
+        model_name, crop, atom_crop, steps, nspr = "medium", 256, 2048, 40, 20
+    else:  # CI smoke: tiny everything
+        model_name, crop, atom_crop, steps, nspr = "toy", 64, 256, 3, 2
 
-    cond_fn = jax.jit(lambda p, b: model.apply(p, b, method="conditioning"))
+    cfg = PhysDockConfig.named(
+        model_name,
+        crop_size=crop,
+        atom_crop_size=atom_crop,
+        bf16=on_tpu,
+        infer_use_pocket=True,
+        infer_use_key_res=True,
+        num_augmentation_sample=2,
+    )
+    featurizer = SystemFeaturizer(
+        cfg.data,
+        msa_features_dir=f"{DEMO_MSA}/msa_features",
+        uniprot_msa_features_dir=f"{DEMO_MSA}/uniprot_msa_features",
+        inference_mode=True,
+        seed=0,
+    )
+    params = load_params(None, cfg)
+    # exactly 2 rounds every run: round 0 (FF-only) + round 1 (banked);
+    # max_samples > nspr so the protocol never breaks early
+    settings = SamplerSettings(
+        max_samples=2 * nspr,
+        num_samples_per_round=nspr,
+        max_rounds=2,
+        steps=steps,
+        enable_physics_correction=True,
+        num_confs=128 if on_tpu else 8,
+        enable_ranking=True,
+        seed=0,
+    )
+    pipe = DockingPipeline(cfg, params, featurizer, settings)
 
-    def run(params, batch, key, conditioning):
-        return sample_diffusion(
-            model,
-            params,
-            batch,
-            key,
-            num_sample=num_sample,
-            steps=steps,
-            karras_rho=1000.0,
-            conditioning=conditioning,
-        )
+    if not os.path.exists(DEMO_PKL):
+        raise SystemExit("demo assets unavailable")
 
-    sample_fn = jax.jit(run)
+    def dock_once():
+        return pipe.dock(DEMO_PKL, output_dir="/tmp/bench_out", write_outputs=False)
 
-    def force(x):
-        # scalar readback: block_until_ready alone does not await execution
-        # on async remote backends
-        return float(jnp.sum(jnp.asarray(x, jnp.float32)))
-
-    # compile + warmup
-    conditioning = cond_fn(params, batch)
-    force(conditioning[3])
-    force(sample_fn(params, batch, jax.random.PRNGKey(1), conditioning))
-
-    n_iters = 3
+    dock_once()  # compile + warmup (round-0 and banked sampler variants)
+    n_iters = 2
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        conditioning = cond_fn(params, batch)
-        force(sample_fn(params, batch, jax.random.PRNGKey(2 + i), conditioning))
+    for _ in range(n_iters):
+        res = dock_once()
     dt = (time.perf_counter() - t0) / n_iters
 
-    poses_per_sec = num_sample / dt
-    baseline = TARGET_MULTIPLIER * A100_REFERENCE_POSES_PER_SEC
+    poses_sampled = nspr * res["rounds"]
+    poses_per_sec = poses_sampled / dt
+    baseline = TARGET_MULTIPLIER * ASSUMED_A100_POSES_PER_SEC
     print(
         json.dumps(
             {
-                "metric": f"poses/sec/chip ({model_name}, crop {n_tokens}/{n_atoms}, {steps} steps, {platform})",
+                "metric": (
+                    f"poses/sec/chip (guided e2e dock, {model_name}, crop "
+                    f"{crop}/{atom_crop}, {steps} steps, {res['rounds']} rounds, "
+                    f"real featurizer, {platform})"
+                ),
                 "value": round(poses_per_sec, 4),
                 "unit": "poses/s",
                 "vs_baseline": round(poses_per_sec / baseline, 3),
+                "baseline_note": (
+                    "denominator is an ASSUMED A100 0.02 poses/s x5 target; "
+                    "the reference publishes no throughput (SURVEY paragraph 6)"
+                ),
+                "feat_time_s": res["feat_time_s"],
+                "dock_time_s": round(dt, 3),
             }
         )
     )
