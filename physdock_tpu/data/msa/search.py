@@ -18,7 +18,7 @@ import numpy as np
 
 from physdock_tpu.data.constants.restypes import AA_1TO3, restype_order
 from physdock_tpu.data.msa import parsers
-from physdock_tpu.data.msa.tools import HHBlits, Jackhmmer
+from physdock_tpu.data.msa.tools import HHBlits, Hmmalign, Jackhmmer, Nhmmer
 from physdock_tpu.utils.io import (
     dump_pkl,
     load_txt,
@@ -26,8 +26,17 @@ from physdock_tpu.utils.io import (
     run_pool_tasks,
 )
 
-# per-database hit caps (alignment_runner_v2.py:77-127)
-DB_CAPS = {"uniref90": 10000, "uniprot": 50000, "mgnify": 5000, "bfd": None}
+# per-database hit caps (alignment_runner_v2.py:77-127; RNA caps from the
+# legacy runner alignment_runner.py:205-249)
+DB_CAPS = {
+    "uniref90": 10000,
+    "uniprot": 50000,
+    "mgnify": 5000,
+    "bfd": None,
+    "rfam": 10000,
+    "rnacentral": 10000,
+    "nt": 10000,
+}
 MAX_MSA_SEQS = 16384
 
 
@@ -38,6 +47,10 @@ class SearchConfig:
     mgnify_path: Optional[str] = None
     bfd_path: Optional[str] = None
     uniclust30_path: Optional[str] = None
+    # RNA databases (legacy runner alignment_runner.py:205-249)
+    rfam_path: Optional[str] = None
+    rnacentral_path: Optional[str] = None
+    nt_path: Optional[str] = None
     n_cpu: int = 8
 
 
@@ -83,6 +96,46 @@ class AlignmentRunner:
                     print(f"[warn] hhblits failed: {e}")
         return produced
 
+    def run_rna(self, fasta_path: str, out_dir: str) -> Dict[str, str]:
+        """RNA homology search: nhmmer vs rfam/rnacentral/nt, then realign
+        each hit sto against a profile of the query
+        (alignment_runner.py:100-249)."""
+        os.makedirs(out_dir, exist_ok=True)
+        produced = {}
+        jobs = []
+        if self.cfg.rfam_path:
+            jobs.append(("rfam_hits.sto", Nhmmer(self.cfg.rfam_path, n_cpu=self.cfg.n_cpu)))
+        if self.cfg.rnacentral_path:
+            jobs.append(("rnacentral_hits.sto", Nhmmer(self.cfg.rnacentral_path, n_cpu=self.cfg.n_cpu)))
+        if self.cfg.nt_path:
+            jobs.append(("nt_hits.sto", Nhmmer(self.cfg.nt_path, n_cpu=self.cfg.n_cpu)))
+        realigner = Hmmalign()
+        for name, tool in jobs:
+            out = os.path.join(out_dir, name)
+            realigned = out.replace("_hits.sto", "_realigned.sto")
+            if not os.path.exists(out):
+                if not tool.available:
+                    continue
+                try:
+                    tool.query(fasta_path, out)
+                except Exception as e:
+                    print(f"[warn] {name} search failed: {e}")
+                    continue
+            produced[name] = out
+            # empty search output -> empty realign output
+            # (alignment_runner.py:110-114)
+            if os.path.getsize(out) == 0:
+                open(realigned, "w").close()
+                produced[os.path.basename(realigned)] = realigned
+                continue
+            if not os.path.exists(realigned) and realigner.available:
+                try:
+                    realigner.realign_sto_with_fasta(fasta_path, out, realigned)
+                    produced[os.path.basename(realigned)] = realigned
+                except Exception as e:
+                    print(f"[warn] {name} realign failed: {e}")
+        return produced
+
 
 def msa_to_int8(msa: parsers.Msa) -> Dict[str, np.ndarray]:
     """Aligned rows -> int8 restype arrays in the 32-class alphabet
@@ -102,6 +155,70 @@ def msa_to_int8(msa: parsers.Msa) -> Dict[str, np.ndarray]:
     for r, row in enumerate(msa.deletion_matrix):
         dele[r, : len(row)] = np.minimum(row, 127)
     return {"msa": arr, "deletion_matrix": dele}
+
+
+# RNA one-letter -> padded CCD names in the 32-class alphabet
+RNA_1TO3 = {"A": "A  ", "G": "G  ", "C": "C  ", "U": "U  ", "T": "U  "}
+
+
+def rna_msa_to_int8(msa: parsers.Msa) -> Dict[str, np.ndarray]:
+    """RNA MSA rows -> int8 restype arrays (nucleotide classes of the same
+    32-class alphabet; dataset_manager.py:383+ lineage)."""
+    if not msa.sequences:
+        return {
+            "msa": np.zeros((0, 0), np.int8),
+            "deletion_matrix": np.zeros((0, 0), np.int8),
+        }
+    arr = np.full((len(msa.sequences), len(msa.sequences[0])), 31, np.int8)
+    for r, seq in enumerate(msa.sequences):
+        for c, ch in enumerate(seq.upper()):
+            if ch == "-":
+                continue
+            arr[r, c] = restype_order(RNA_1TO3.get(ch, "N  "))
+    dele = np.zeros_like(arr)
+    for r, row in enumerate(msa.deletion_matrix):
+        dele[r, : len(row)] = np.minimum(row, 127)
+    return {"msa": arr, "deletion_matrix": dele}
+
+
+def rna_msa_key(sequence: str) -> str:
+    """md5('rna:'+seq) cache key (dataset_manager.py:49)."""
+    from physdock_tpu.utils.io import md5_string
+
+    return md5_string("rna:" + sequence)
+
+
+def convert_rna_search_outputs(
+    msas_dir: str, features_dir: str, max_seqs: int = MAX_MSA_SEQS
+) -> None:
+    """Realigned RNA stos -> {md5('rna:'+seq)}.pkl.gz int8 features
+    (dataset_manager.py:383-450)."""
+    os.makedirs(features_dir, exist_ok=True)
+    for entry in sorted(os.listdir(msas_dir)):
+        out_dir = os.path.join(msas_dir, entry)
+        if not os.path.isdir(out_dir):
+            continue
+        msas = []
+        for name in (
+            "rfam_realigned.sto",
+            "rnacentral_realigned.sto",
+            "nt_realigned.sto",
+        ):
+            p = os.path.join(out_dir, name)
+            if os.path.exists(p) and os.path.getsize(p) > 0:
+                msas.append(
+                    parsers.parse_stockholm(open(p).read()).truncate(
+                        DB_CAPS.get(name.split("_")[0], None) or max_seqs
+                    )
+                )
+        if not msas:
+            continue
+        merged = parsers.merge_msas(msas).truncate(max_seqs)
+        feats = rna_msa_to_int8(merged)
+        query = merged.sequences[0].replace("-", "").upper()
+        dump_pkl(
+            feats, os.path.join(features_dir, f"{rna_msa_key(query)}.pkl.gz")
+        )
 
 
 def convert_search_outputs(

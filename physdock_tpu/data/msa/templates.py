@@ -76,6 +76,66 @@ def parse_hhr(text: str) -> List[TemplateHit]:
     return hits
 
 
+def parse_hmmsearch_sto(text: str, query_sequence: str) -> List[TemplateHit]:
+    """hmmsearch -A output sto -> template hits aligned to the query
+    (reference: tools/parsers.py parse_hmmsearch_sto/convert lineage +
+    tools/hmmsearch.py:127-137 get_template_hits).
+
+    hmmsearch -A emits profile-aligned rows: UPPERCASE/'-' are match
+    columns (one per profile position, i.e. one per query residue for a
+    --hand profile built from the query MSA), lowercase/'.' are insertions
+    relative to the profile.  Raw rows are parsed here — NOT via
+    parse_stockholm, whose first-row-gap column deletion assumes the first
+    row is the query.
+    """
+    rows: Dict[str, str] = {}
+    for ln in text.splitlines():
+        ln = ln.rstrip()
+        if not ln or ln.startswith(("#", "//")):
+            continue
+        parts = ln.split()
+        if len(parts) != 2:
+            continue
+        name, chunk = parts
+        rows[name] = rows.get(name, "") + chunk
+    hits: List[TemplateHit] = []
+    for i, (name, seq) in enumerate(rows.items()):
+        iq, it = [], []
+        qpos = tpos = 0
+        for ch in seq:
+            if ch in (".",) or ch.islower():
+                # insertion vs the profile: consumes hit residue only
+                if ch != ".":
+                    tpos += 1
+                continue
+            if qpos >= len(query_sequence):
+                break
+            if ch == "-":
+                iq.append(qpos)
+                it.append(-1)
+            else:
+                iq.append(qpos)
+                it.append(tpos)
+                tpos += 1
+            qpos += 1
+        aligned = sum(1 for q, t in zip(iq, it) if q >= 0 and t >= 0)
+        hits.append(
+            TemplateHit(
+                index=i,
+                name=name,
+                aligned_cols=aligned,
+                sum_probs=0.0,
+                query=query_sequence[: len(iq)],
+                hit_sequence="".join(
+                    c.upper() for c in seq if c.isalpha()
+                ),
+                indices_query=iq,
+                indices_hit=it,
+            )
+        )
+    return hits
+
+
 @dataclasses.dataclass
 class MmcifChain:
     chain_id: str
@@ -157,3 +217,104 @@ def template_pair_features(
     pair_mask = mask[:, None] * mask[None, :]
     dgram = dgram * pair_mask[..., None]
     return np.concatenate([dgram, pair_mask[..., None]], axis=-1).astype(np.float32)
+
+
+@dataclasses.dataclass
+class TemplateHitFeaturizer:
+    """Prefilter + (optionally kalign-realign) + featurize template hits
+    (reference: tools/templates.py:1070-1259 HhsearchHitFeaturizer /
+    HmmsearchHitFeaturizer and its _assess_hhsearch_hit prefilters).
+
+    mmcif_lookup: hit name prefix (pdb_id) -> mmCIF text.
+    release_dates: pdb_id -> ISO date string (optional date prefilter).
+    """
+
+    mmcif_lookup: Dict[str, str]
+    release_dates: Dict[str, str] = dataclasses.field(default_factory=dict)
+    max_template_date: str = "9999-12-31"
+    max_hits: int = 4
+    min_align_ratio: float = 0.1
+    kalign_binary: str = "kalign"
+
+    def _accept(self, hit: TemplateHit, query_sequence: str) -> bool:
+        align_ratio = hit.aligned_cols / max(len(query_sequence), 1)
+        if align_ratio <= self.min_align_ratio:
+            return False
+        # near-duplicate of the query (templates.py _assess_hhsearch_hit)
+        if hit.hit_sequence == query_sequence:
+            return False
+        pdb_id = hit.name.split("_")[0].split()[0].lower()
+        date = self.release_dates.get(pdb_id)
+        if date is not None and date > self.max_template_date:
+            return False
+        return True
+
+    def _realign(self, hit: TemplateHit, chain: MmcifChain) -> TemplateHit:
+        """Re-derive hit indices by kalign-ing the hit sequence against the
+        template chain's actual modelled sequence (templates.py kalign
+        realign step); falls back to the original indices when kalign is
+        unavailable or the alignment fails."""
+        from physdock_tpu.data.msa.parsers import parse_fasta
+        from physdock_tpu.data.msa.tools import Kalign
+
+        tool = Kalign(self.kalign_binary)
+        if not tool.available:
+            return hit
+        seqs = sorted(chain.positions)
+        chain_seq = "".join(
+            three_to_one(chain.restypes[s]) for s in seqs
+        )
+        if not chain_seq or chain_seq == hit.hit_sequence:
+            return hit
+        try:
+            out = tool.align([hit.hit_sequence, chain_seq])
+            aligned, _ = parse_fasta(out)
+            a_hit, a_chain = aligned[0], aligned[1]
+        except Exception:
+            return hit
+        # map hit positions -> chain positions through the pairwise alignment
+        hit_to_chain = {}
+        hp = cp = 0
+        for hc, cc in zip(a_hit, a_chain):
+            if hc != "-" and cc != "-":
+                hit_to_chain[hp] = cp
+            if hc != "-":
+                hp += 1
+            if cc != "-":
+                cp += 1
+        new_it = [
+            hit_to_chain.get(t, -1) if t >= 0 else -1
+            for t in hit.indices_hit
+        ]
+        return dataclasses.replace(hit, indices_hit=new_it)
+
+    def featurize(
+        self, hits: List[TemplateHit], query_sequence: str
+    ) -> List[np.ndarray]:
+        """Accepted hits -> list of [L, L, 40] pair template features, best
+        (highest sum_probs / aligned_cols) first."""
+        ranked = sorted(
+            hits, key=lambda h: (h.sum_probs, h.aligned_cols), reverse=True
+        )
+        out: List[np.ndarray] = []
+        for hit in ranked:
+            if len(out) >= self.max_hits:
+                break
+            if not self._accept(hit, query_sequence):
+                continue
+            pdb_id = hit.name.split("_")[0].split()[0].lower()
+            text = self.mmcif_lookup.get(pdb_id)
+            if text is None:
+                continue
+            chains = parse_mmcif_atoms(text)
+            chain_id = None
+            if "_" in hit.name:
+                chain_id = hit.name.split("_")[1].split()[0]
+            chain = chains.get(chain_id) or next(iter(chains.values()), None)
+            if chain is None:
+                continue
+            hit = self._realign(hit, chain)
+            out.append(
+                template_pair_features(hit, chain, len(query_sequence))
+            )
+        return out

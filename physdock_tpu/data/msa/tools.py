@@ -147,20 +147,99 @@ class Hmmbuild:
     def available(self) -> bool:
         return shutil.which(self.binary_path) is not None
 
-    def build(self, sto_path: str, output_hmm: str) -> None:
-        _run([self.binary_path, "--hand", "--amino", output_hmm, sto_path])
+    def build(
+        self,
+        input_path: str,
+        output_hmm: str,
+        hand: bool = True,
+        alphabet: str = "amino",
+    ) -> None:
+        """Build a profile from an alignment (sto/fasta).  alphabet:
+        amino | rna | dna (reference: tools/hmmbuild.py model_construction +
+        build_rna_profile_from_fasta)."""
+        cmd = [self.binary_path]
+        if hand:
+            cmd.append("--hand")
+        cmd.append(f"--{alphabet}")
+        _run(cmd + [output_hmm, input_path])
 
 
 @dataclasses.dataclass
 class Hmmalign:
     binary_path: str = "hmmalign"
+    hmmbuild_binary_path: str = "hmmbuild"
 
     @property
     def available(self) -> bool:
-        return shutil.which(self.binary_path) is not None
+        return (
+            shutil.which(self.binary_path) is not None
+            and shutil.which(self.hmmbuild_binary_path) is not None
+        )
 
     def align(self, hmm_path: str, fasta_path: str) -> str:
         return _run([self.binary_path, "--trim", hmm_path, fasta_path])
+
+    def realign_sto_with_fasta(
+        self,
+        fasta_path: str,
+        sto_in_path: str,
+        sto_out_path: str,
+        rna: bool = True,
+    ) -> None:
+        """Realign a search sto against a profile built from the query fasta
+        (reference: tools/hmmalign.py:29-60, the RNA realign stage of
+        alignment_runner.py:100-128)."""
+        with tempfile.TemporaryDirectory() as td:
+            hmm = os.path.join(td, "query.hmm")
+            Hmmbuild(self.hmmbuild_binary_path).build(
+                fasta_path, hmm, hand=False, alphabet="rna" if rna else "amino"
+            )
+            cmd = [self.binary_path]
+            if rna:
+                cmd.append("--rna")
+            cmd += ["--mapali", fasta_path, "-o", sto_out_path, hmm, sto_in_path]
+            _run(cmd)
+
+
+@dataclasses.dataclass
+class Hmmsearch:
+    """hmmsearch: profile (from an sto MSA) vs a sequence database
+    (reference: tools/hmmsearch.py:27-137 incl. its default permissive
+    filter/E-value flags)."""
+
+    database_path: str
+    binary_path: str = "hmmsearch"
+    hmmbuild_binary_path: str = "hmmbuild"
+    n_cpu: int = 8
+    flags: Sequence[str] = (
+        "--F1", "0.1", "--F2", "0.1", "--F3", "0.1",
+        "--incE", "100", "-E", "100", "--domE", "100", "--incdomE", "100",
+    )
+
+    @property
+    def available(self) -> bool:
+        return (
+            shutil.which(self.binary_path) is not None
+            and shutil.which(self.hmmbuild_binary_path) is not None
+        )
+
+    def query(self, msa_sto: str, output_sto: str) -> str:
+        """Build an hmm from the query MSA (hand construction), search the
+        database, return the hit alignment sto."""
+        with tempfile.TemporaryDirectory() as td:
+            sto_in = os.path.join(td, "query.sto")
+            hmm = os.path.join(td, "query.hmm")
+            with open(sto_in, "w") as f:
+                f.write(msa_sto)
+            Hmmbuild(self.hmmbuild_binary_path).build(sto_in, hmm, hand=True)
+            cmd = (
+                [self.binary_path, "--noali", "--cpu", str(self.n_cpu)]
+                + list(self.flags)
+                + ["-A", output_sto, hmm, self.database_path]
+            )
+            _run(cmd)
+        with open(output_sto) as f:
+            return f.read()
 
 
 @dataclasses.dataclass
