@@ -127,6 +127,23 @@ def build_restraints(mol: Molecule, chiral_signs=None) -> RestraintSet:
     # sp2 substituent planarity via 1-4 over double bonds is approximated by
     # repulsion + angle restraints; skip explicit torsions.
 
+    # E/Z double-bond stereo: pin the specified substituents' 1-4 distance
+    # to the planar trans/cis geometry (from SMILES directional tags)
+    for a, bi, bj, b, is_trans in getattr(mol, "stereo_bonds", None) or []:
+        r_ij = bond_len.get((bi, bj))
+        r_ai = bond_len.get((a, bi))
+        r_jb = bond_len.get((bj, b))
+        if None in (r_ij, r_ai, r_jb):
+            continue
+        apos = np.array(
+            [-0.5 * r_ai, math.sin(2 * math.pi / 3) * r_ai]
+        )
+        theta = -math.pi / 3 if is_trans else math.pi / 3
+        bpos = np.array(
+            [r_ij + r_jb * math.cos(theta), r_jb * math.sin(theta)]
+        )
+        add(a, b, float(np.linalg.norm(apos - bpos)), 10.0)
+
     restrained = set(seen)
     rep_pairs, rep_dist = [], []
     for i in range(n):

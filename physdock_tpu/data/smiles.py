@@ -1,11 +1,21 @@
 """SMILES parser (RDKit-free) -> Molecule.
 
 Supports the organic subset + brackets, branches, ring closures (incl. %nn),
-bond orders -/=/#/:, aromatic lowercase atoms, charges, and tetrahedral
-@/@@ tags.  Replaces `Chem.MolFromSmiles` in the screening entry path
-(reference: tools/rdkit.py:14-28, screening.py:106-116).  Stereo bond
-(E/Z) tags are accepted but ignored.  Hydrogens are implicit (the whole
-pipeline is heavy-atom-only, matching the reference's RemoveAllHs).
+bond orders -/=/#/:, aromatic lowercase atoms, charges, tetrahedral
+@/@@ tags, and directional E/Z bond tags (/ and \\) — double-bond stereo
+becomes `Molecule.stereo_bonds` entries that the embedder pins as planar
+1-4 distance restraints and the guidance force field preserves as rigid
+1-4 pairs.  Replaces `Chem.MolFromSmiles` in the screening entry path
+(reference: tools/rdkit.py:14-28, screening.py:106-116).  Hydrogens are
+implicit (the whole pipeline is heavy-atom-only, matching the reference's
+RemoveAllHs).
+
+Known-unsupported (documented fuzz frontier):
+  * directional tags on ring-closure bonds (rare; tag ignored, bond kept);
+  * @TH1/@AL/@SP/@TB/@OH extended chirality classes (bracket parse keeps
+    the atom, the tag is ignored);
+  * isotope labels parsed but not featurized;
+  * wildcard '*' atoms are treated as carbon.
 """
 
 from __future__ import annotations
@@ -40,6 +50,8 @@ def parse_smiles(smiles: str) -> Molecule:
 
     prev: List[Optional[int]] = [None]  # stack of attachment points
     pending_bond: Optional[float] = None
+    pending_dir: Optional[int] = None  # +1 for '/', -1 for '\'
+    dir_bonds: List[Tuple[int, int, int]] = []  # (written-first, second, dir)
     ring_open: Dict[str, Tuple[int, Optional[float]]] = {}
 
     i = 0
@@ -69,13 +81,16 @@ def parse_smiles(smiles: str) -> Molecule:
             i += 1
         elif ch in "-=#:$":
             pending_bond = {"-": 1.0, "=": 2.0, "#": 3.0, ":": 1.5, "$": 4.0}[ch]
+            pending_dir = None
             i += 1
         elif ch in "/\\":
-            pending_bond = 1.0  # E/Z markers parsed as single bonds
+            pending_bond = 1.0
+            pending_dir = 1 if ch == "/" else -1
             i += 1
         elif ch == ".":
             prev[-1] = None
             pending_bond = None
+            pending_dir = None
             i += 1
         elif ch.isdigit() or ch == "%":
             if ch == "%":
@@ -91,6 +106,7 @@ def parse_smiles(smiles: str) -> Molecule:
             else:
                 ring_open[label] = (prev[-1], pending_bond)
             pending_bond = None
+            pending_dir = None
         elif ch == "[":
             m = _BRACKET_RE.match(smiles, i)
             if not m:
@@ -114,8 +130,11 @@ def parse_smiles(smiles: str) -> Molecule:
             idx = add_atom(z, chg, arom, m.group("chiral"))
             if prev[-1] is not None:
                 close_bond(prev[-1], idx, pending_bond)
+                if pending_dir is not None:
+                    dir_bonds.append((prev[-1], idx, pending_dir))
             prev[-1] = idx
             pending_bond = None
+            pending_dir = None
             i = m.end()
         else:
             # organic subset, maybe two letters (Cl, Br)
@@ -135,8 +154,11 @@ def parse_smiles(smiles: str) -> Molecule:
             idx = add_atom(z, 0, arom, None)
             if prev[-1] is not None:
                 close_bond(prev[-1], idx, pending_bond)
+                if pending_dir is not None:
+                    dir_bonds.append((prev[-1], idx, pending_dir))
             prev[-1] = idx
             pending_bond = None
+            pending_dir = None
 
     if ring_open:
         raise SmilesError(f"unclosed ring bonds {list(ring_open)} in {smiles}")
@@ -145,7 +167,37 @@ def parse_smiles(smiles: str) -> Molecule:
         np.array(atoms, np.int32), np.array(charges, np.int32), bonds, None, smiles
     )
     mol._smiles_chirality = chiral  # CW/CCW tags, applied post-embedding
+    mol.stereo_bonds = _derive_stereo_bonds(bonds, dir_bonds)
     return mol
+
+
+def _derive_stereo_bonds(bonds, dir_bonds):
+    """Directional single bonds -> double-bond stereo descriptors.
+
+    Returns (a, i, j, b, is_trans) tuples: substituent a of double-bond
+    atom i and substituent b of j.  SMILES semantics: for a directional
+    bond written X/Y, orient its sign toward the double-bond atom; equal
+    oriented signs on the two sides = cis, opposite = trans
+    (F/C=C/F is trans-difluoroethene).
+    """
+    out = []
+    for i, j, o in bonds:
+        if o != 2.0:
+            continue
+        flags = {}
+        for end in (i, j):
+            for x, y, s in dir_bonds:
+                if y == end and x not in (i, j):
+                    flags[end] = (x, s)  # recorded toward the sp2 atom
+                    break
+                if x == end and y not in (i, j):
+                    flags[end] = (y, -s)  # recorded away: flip
+                    break
+        if i in flags and j in flags:
+            a, fa = flags[i]
+            b, fb = flags[j]
+            out.append((a, i, j, b, fa != fb))
+    return out
 
 
 def mol_from_smiles(smiles: str, embed: bool = True, seed: int = 0) -> Molecule:

@@ -80,11 +80,17 @@ class DockingPipeline:
         self._jit_cond = jax.jit(
             lambda p, b: self.model.apply(p, b, method="conditioning")
         )
-        self._jit_sample = None  # built lazily (closes over static config)
+        # jit wrappers are CACHED on the pipeline — rebuilding them per dock
+        # call would discard XLA's compile cache and recompile every system
+        self._jit_sample = None
+        self._jit_sample_batched = None
+        self._jit_cond_batched = None
 
     # ------------------------------------------------------------- sampling
 
     def _sample_fn(self):
+        if self._jit_sample is not None:
+            return self._jit_sample
         s = self.s
 
         @functools.partial(jax.jit, static_argnames=("num_sample", "use_bank"))
@@ -111,9 +117,10 @@ class DockingPipeline:
                 conditioning=conditioning,
             )
 
+        self._jit_sample = fn
         return fn
 
-    def _build_guidance(self, batch, meta):
+    def _build_guidance(self, batch, meta, pad_atoms: Optional[int] = None):
         """Returns (PhysicsGuidance template, original conformer bank).
 
         The guidance's conf arrays are BANK-shaped ([max_samples, L, ...]) —
@@ -121,6 +128,10 @@ class DockingPipeline:
         with identical shapes (zero recompiles across rounds).  The full
         ETKDG-style bank ([num_confs, L, 3]) is returned separately for the
         RoundProtocol's host-side epsilon ranking.
+
+        pad_atoms pads the ligand axis to a common size (batched screening
+        over ligands of different sizes; padded entries carry mask 0 and
+        out-of-range scatter indices).
         """
         mol = meta.get("ref_mol")
         lig_idx = np.asarray(meta["ligand_atom_idx"])
@@ -135,15 +146,23 @@ class DockingPipeline:
             [(i, j) for i, j, _ in mol.bonds],
             confs[0],
             chiral_centers=mol.chiral_centers(),
+            # E/Z stereo pairs stay rigid through FF relaxation
+            rigid_14=[
+                (min(a, b), max(a, b))
+                for a, _, _, b, _ in getattr(mol, "stereo_bonds", None) or []
+            ],
         )
         n_atoms = batch["ref_pos"].shape[-2]
-        L = mol.num_atoms
+        L = pad_atoms or mol.num_atoms
+        assert L >= mol.num_atoms, (L, mol.num_atoms)
         idx = np.full(L, n_atoms, np.int32)  # pad -> out-of-range (dropped)
         idx[: len(lig_idx)] = lig_idx
+        lig_mask = np.zeros(L, np.float32)
+        lig_mask[: mol.num_atoms] = 1.0
         K = self.s.max_samples
         guidance = PhysicsGuidance(
             ligand_idx=jnp.asarray(idx),
-            ligand_mask=jnp.ones(L, jnp.float32),
+            ligand_mask=jnp.asarray(lig_mask),
             conf_pos=jnp.zeros((K, L, 3), jnp.float32),
             conf_dists=jnp.zeros((K, L, L), jnp.float32),
             conf_mask=jnp.zeros((K,), jnp.float32),
@@ -249,6 +268,33 @@ class DockingPipeline:
         poses = (
             protocol.final_poses() if guided else np.asarray(x)[: s.max_samples]
         )
+        return self._postprocess(
+            feats, meta, poses, output_dir,
+            remove_ligand=remove_ligand, smi=smi, rounds_run=rounds_run,
+            t_feat=t_feat, t_start=t_start, write_outputs=write_outputs,
+        )
+
+    # -------------------------------------------------------- post-processing
+
+    def _postprocess(
+        self,
+        feats,
+        meta,
+        poses: np.ndarray,
+        output_dir: str,
+        *,
+        remove_ligand: bool,
+        smi: Optional[str],
+        rounds_run: int,
+        t_feat: float,
+        t_start: float,
+        write_outputs: bool,
+    ) -> Dict:
+        """Align to the GT pocket-CA frame, optionally relax, rank, score,
+        and write outputs (redocking.py:341-447)."""
+        s = self.s
+        lig_idx = np.asarray(meta["ligand_atom_idx"])
+        x_gt = np.asarray(feats["x_gt"])
 
         # align to GT pocket-CA frame
         centre_ids = np.asarray(feats["token_id_to_centre_atom_id"])
@@ -328,29 +374,294 @@ class DockingPipeline:
         smiles_list: List[str],
         output_dir: str,
         write_outputs: bool = True,
+        batch_size: int = 1,
     ) -> List[Dict]:
         """Virtual screening: dock each SMILES into the receptor pocket
-        (screening.py:495-523; outputs keyed by md5(smi))."""
+        (screening.py:495-523; outputs keyed by md5(smi)).
+
+        batch_size > 1 stacks that many ligand-systems on a leading axis and
+        runs conditioning + the guided sampler vmapped over it in one device
+        program (the reference screens sequentially, one SMILES at a time —
+        SURVEY §2.5 'fleet of independent ligands').
+        """
         from physdock_tpu.utils.io import md5_string
 
         results = []
-        smi_map = {}
-        for smi in smiles_list:
-            key = md5_string(smi)
-            smi_map[smi] = key
-            out = os.path.join(output_dir, key)
-            try:
-                r = self.dock(
+        smi_map = {smi: md5_string(smi) for smi in smiles_list}
+        if batch_size > 1:
+            for i in range(0, len(smiles_list), batch_size):
+                results += self._dock_ligand_batch(
                     system,
-                    out,
-                    remove_ligand=True,
-                    smi=smi,
+                    smiles_list[i : i + batch_size],
+                    output_dir,
+                    smi_map,
                     write_outputs=write_outputs,
                 )
-                r["smiles"] = smi
-                results.append(r)
-            except Exception as e:  # robustness contract (screening.py:458-460)
-                results.append({"smiles": smi, "error": str(e)})
+        else:
+            for smi in smiles_list:
+                out = os.path.join(output_dir, smi_map[smi])
+                try:
+                    r = self.dock(
+                        system,
+                        out,
+                        remove_ligand=True,
+                        smi=smi,
+                        write_outputs=write_outputs,
+                    )
+                    r["smiles"] = smi
+                    results.append(r)
+                except Exception as e:  # robustness (screening.py:458-460)
+                    results.append({"smiles": smi, "error": str(e)})
         if write_outputs:
             dump_json(smi_map, os.path.join(output_dir, "smiles_to_md5.json"))
         return results
+
+    # ----------------------------------------------------- batched screening
+
+    def _sample_fn_batched(self):
+        if self._jit_sample_batched is not None:
+            return self._jit_sample_batched
+        s = self.s
+
+        @functools.partial(jax.jit, static_argnames=("num_sample", "use_bank"))
+        def fn(
+            params, batches, keys, conds, guidances, factors, num_sample,
+            use_bank,
+        ):
+            def one(batch, key, cond, g, factor):
+                return sample_diffusion(
+                    self.model,
+                    params,
+                    batch,
+                    key,
+                    num_sample=num_sample,
+                    steps=s.steps,
+                    gamma_0=s.gamma_0,
+                    gamma_min=s.gamma_min,
+                    noise_scale_lambda=s.noise_scale_lambda,
+                    step_scale_eta=s.step_scale_eta,
+                    karras_rho=s.rho,
+                    guidance=g,
+                    mmff_gamma_0_factor=factor,
+                    mmff_iters=s.mmff_iters,
+                    align_ref_pos=use_bank,
+                    conditioning=cond,
+                )
+
+            return jax.vmap(one)(batches, keys, conds, guidances, factors)
+
+        self._jit_sample_batched = fn
+        return fn
+
+    def _dock_ligand_batch(
+        self,
+        system,
+        smiles: List[str],
+        output_dir: str,
+        smi_map: Dict[str, str],
+        write_outputs: bool = True,
+    ) -> List[Dict]:
+        """Dock a batch of SMILES against one receptor in ONE device program.
+
+        Systems are stacked on a leading axis; conditioning and the guided
+        sampler are vmapped over it.  Ligand force fields are padded to
+        common capacities (stack_ligand_ffs) and conformer banks to the max
+        ligand size, so one compile serves the whole screen.  Ligands whose
+        featurization or guidance build fails fall back to the sequential
+        path.
+        """
+
+        s = self.s
+        t_start = time.time()
+        results: List[Dict] = []
+        items = []  # (smi, feats, meta)
+        for smi in smiles:
+            try:
+                feats, meta = self.featurizer.load(
+                    system,
+                    remove_ligand=True,
+                    smi=smi,
+                    num_msa_rounds=max(1, s.max_rounds),
+                )
+                items.append((smi, feats, meta))
+            except Exception as e:
+                results.append({"smiles": smi, "error": str(e)})
+        if not items:
+            return results
+
+        # group by shape signature (different ligands can land in different
+        # static buckets); each group is one vmapped program
+        groups: Dict[tuple, list] = {}
+        for it in items:
+            sig = tuple(sorted((k, np.shape(v)) for k, v in it[1].items()))
+            groups.setdefault(sig, []).append(it)
+        for group in groups.values():
+            results += self._run_ligand_group(
+                system, group, output_dir, smi_map, write_outputs, t_start
+            )
+        return results
+
+    def _run_ligand_group(
+        self, system, group, output_dir, smi_map, write_outputs, t_start
+    ) -> List[Dict]:
+        from physdock_tpu.model.forcefield import stack_ligand_ffs
+
+        s = self.s
+        B = len(group)
+        feats_list = [f for _, f, _ in group]
+        metas = [m for _, _, m in group]
+        batch_msa = [m.pop("batch_msa_feat", None) for m in metas]
+        lig_idxs = [np.asarray(m["ligand_atom_idx"]) for m in metas]
+        L_max = max(len(ix) for ix in lig_idxs)
+
+        guided = s.enable_physics_correction
+        guidances, conf_banks, ffs = [], [], []
+        if guided:
+            for _, feats, meta in group:
+                g, confs = self._build_guidance(feats, meta, pad_atoms=L_max)
+                if g is None:
+                    guided = False
+                    break
+                guidances.append(g)
+                conf_banks.append(confs)
+                ffs.append(g.ff)
+        if s.enable_physics_correction and not guided:
+            # a ligand without buildable guidance: sequential fallback for
+            # the whole group (keeps per-ligand protocol semantics exact)
+            out: List[Dict] = []
+            for smi, _, _ in group:
+                try:
+                    r = self.dock(
+                        system,
+                        os.path.join(output_dir, smi_map[smi]),
+                        remove_ligand=True,
+                        smi=smi,
+                        write_outputs=write_outputs,
+                    )
+                    r["smiles"] = smi
+                except Exception as e:
+                    r = {"smiles": smi, "error": str(e)}
+                out.append(r)
+            return out
+
+        stacked = {
+            k: jnp.asarray(np.stack([np.asarray(f[k]) for f in feats_list]))
+            for k in feats_list[0]
+        }
+        if guided:
+            ff_stacked = stack_ligand_ffs(ffs)
+            g_stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[dataclasses.replace(g, ff=None) for g in guidances],
+            )
+            g_stacked = dataclasses.replace(g_stacked, ff=ff_stacked)
+            protocols = [
+                RoundProtocol(
+                    conf_banks[b],
+                    max_samples=s.max_samples,
+                    num_samples_per_round=s.num_samples_per_round,
+                    eta_start=s.eta,
+                )
+                for b in range(B)
+            ]
+        else:
+            g_stacked, protocols = None, None
+
+        if self._jit_cond_batched is None:
+            self._jit_cond_batched = jax.jit(
+                lambda p, bs: jax.vmap(
+                    lambda b: self.model.apply(p, b, method="conditioning")
+                )(bs)
+            )
+        cond_fn = self._jit_cond_batched
+        sample_fn = self._sample_fn_batched()
+        key = jax.random.PRNGKey(s.seed)
+        t_feat = time.time() - t_start
+        rounds_run = 0
+        x = None
+        for rnd in range(s.max_rounds if guided else 1):
+            rounds_run += 1
+            key, k_round = jax.random.split(key)
+            keys = jax.random.split(k_round, B)
+            for b, bm in enumerate(batch_msa):
+                if bm is not None:
+                    stacked["msa_feat"] = (
+                        stacked["msa_feat"].at[b].set(bm[rnd % len(bm)])
+                    )
+            conds = cond_fn(self.params, stacked)
+            if guided:
+                banks = [p.bank(rnd) for p in protocols]
+            else:
+                banks = [None] * B
+            if guided and banks[0] is not None:
+                K = s.max_samples
+                pos = np.zeros((B, K, L_max, 3), np.float32)
+                mask = np.zeros((B, K), np.float32)
+                for b, bank in enumerate(banks):
+                    pb, mb = bank
+                    pos[b, :, : pb.shape[1]] = pb
+                    mask[b] = mb
+                g_round = dataclasses.replace(
+                    g_stacked,
+                    conf_pos=jnp.asarray(pos),
+                    conf_dists=jnp.asarray(
+                        np.linalg.norm(
+                            pos[:, :, :, None] - pos[:, :, None], axis=-1
+                        )
+                    ),
+                    conf_mask=jnp.asarray(mask),
+                )
+                use_bank = True
+            else:
+                g_round, use_bank = g_stacked, False
+            x = np.asarray(
+                sample_fn(
+                    self.params,
+                    stacked,
+                    keys,
+                    conds,
+                    g_round,
+                    jnp.asarray(
+                        [p.factor for p in protocols]
+                        if guided
+                        else [s.eta] * B,
+                        jnp.float32,
+                    ),
+                    s.num_samples_per_round,
+                    use_bank,
+                )
+            )  # [B, S, A, 3]
+            if not guided:
+                break
+            for b in range(B):
+                lig = x[b][:, lig_idxs[b]]
+                ok = np.asarray(
+                    chirality_correct(jnp.asarray(lig), ffs[b])
+                )
+                protocols[b].update(x[b], lig, ok)
+            if all(p.done for p in protocols):
+                break
+
+        out: List[Dict] = []
+        for b, (smi, feats, meta) in enumerate(group):
+            poses = (
+                protocols[b].final_poses()
+                if guided
+                else x[b][: s.max_samples]
+            )
+            r = self._postprocess(
+                feats,
+                meta,
+                poses,
+                os.path.join(output_dir, smi_map[smi]),
+                remove_ligand=True,
+                smi=smi,
+                rounds_run=rounds_run,
+                t_feat=t_feat,
+                t_start=t_start,
+                write_outputs=write_outputs,
+            )
+            r["smiles"] = smi
+            r["vs_batch_size"] = B
+            out.append(r)
+        return out
