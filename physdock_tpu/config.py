@@ -76,6 +76,7 @@ class ModelConfig:
     # training-era options (reference configs_old.py:4-47; release defaults)
     num_recycles: int = 0
     use_mini_rollout: bool = False
+    mini_rollout_steps: int = 12  # train.sh:111
     atom_attention_type: str = "sequence"  # "sequence" | "spatial"
     interaction_aware: bool = False
 
@@ -156,6 +157,9 @@ class LossConfig:
     pde_min_bin: float = 0.0
     pde_max_bin: float = 32.0
     pde_no_bins: int = 64
+    pae_min_bin: float = 0.0
+    pae_max_bin: float = 32.0
+    pae_no_bins: int = 64
     eps: float = 1e-9
 
 

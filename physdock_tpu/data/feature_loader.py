@@ -634,6 +634,7 @@ class SystemFeaturizer:
             [],
             [],
         )
+        tok_frame: List[Tuple[int, int, int]] = []
         token_id = 0
         atom_id = 0
         atom_names_flat: List[str] = []
@@ -656,6 +657,7 @@ class SystemFeaturizer:
                 tok_chunk.append(0)
                 tok_centre_atom.append(0)
                 tok_pseudo_beta.append(0)
+                tok_frame.append((0, 0, 0))  # degenerate frame
                 token_id += 1
                 # atoms of UNK still exist in x_gt; map them to this token
                 for _ in range(sz):
@@ -671,19 +673,40 @@ class SystemFeaturizer:
                 centre_name = rc.TOKEN_CENTRE_ATOM[ccd]
                 pb_name = rc.TOKEN_PSEUDO_BETA_ATOM.get(ccd, centre_name)
                 c_at = pb_at = atom_id
+                # backbone frame (N, CA, C) for PAE/FAPE (AF3 frame
+                # convention; the reference's loaders never emitted these —
+                # its pae/fape consumed features from older internal code)
+                f_at = [atom_id, atom_id, atom_id]
                 for k, nm in enumerate(names):
                     if nm == centre_name:
                         c_at = atom_id + k
                     if nm == pb_name:
                         pb_at = atom_id + k
+                    if nm == "N":
+                        f_at[0] = atom_id + k
+                    elif nm == "CA":
+                        f_at[1] = atom_id + k
+                    elif nm == "C":
+                        f_at[2] = atom_id + k
                     atom_conf.append(conf_id)
                     atom_tok.append(token_id)
                 tok_centre_atom.append(c_at)
                 tok_pseudo_beta.append(pb_at)
+                tok_frame.append(tuple(f_at))
                 atom_id += sz
                 token_id += 1
             else:  # ligand / non-standard: token per atom
                 ref_feat_rows.append(full_ref_feat[inner])
+                # per-atom frames: (nearest, self, second-nearest) within the
+                # conformer by ref-conformer distance (AF3 ligand frames)
+                rp = np.asarray(entry["ref_pos"], np.float32)[inner]
+                if sz >= 3:
+                    dm = np.linalg.norm(rp[:, None] - rp[None], axis=-1)
+                    np.fill_diagonal(dm, np.inf)
+                    nn2 = np.argsort(dm, axis=-1)[:, :2]
+                else:
+                    nn2 = np.zeros((sz, 2), np.int64)
+                atom_start = atom_id
                 for k in range(sz):
                     atom_conf.append(conf_id)
                     atom_tok.append(token_id)
@@ -692,6 +715,15 @@ class SystemFeaturizer:
                     tok_chunk.append(1)
                     tok_centre_atom.append(atom_id)
                     tok_pseudo_beta.append(atom_id)
+                    tok_frame.append(
+                        (
+                            atom_start + int(nn2[k, 0]),
+                            atom_id,
+                            atom_start + int(nn2[k, 1]),
+                        )
+                        if sz >= 3
+                        else (atom_id, atom_id, atom_id)
+                    )
                     atom_id += 1
                     token_id += 1
             atom_off += sz
@@ -706,6 +738,10 @@ class SystemFeaturizer:
         feats["token_id_to_chunk_sizes"] = np.asarray(tok_chunk, np.int64)
         feats["token_id_to_centre_atom_id"] = np.asarray(tok_centre_atom, np.int64)
         feats["token_id_to_pseudo_beta_atom_id"] = np.asarray(tok_pseudo_beta, np.int64)
+        tok_frame_arr = np.asarray(tok_frame, np.int64).reshape(-1, 3)
+        feats["token_id_to_frame_atom_id_0"] = tok_frame_arr[:, 0]
+        feats["token_id_to_frame_atom_id_1"] = tok_frame_arr[:, 1]
+        feats["token_id_to_frame_atom_id_2"] = tok_frame_arr[:, 2]
         feats["token_index"] = np.arange(token_id, dtype=np.int64)
 
         # conformer-wise -> token-wise (feature_loader.py:731-739)

@@ -30,6 +30,11 @@ FEATURE_SCHEMA: Dict[str, tuple] = {
     "is_key_res": (T,),
     "token_id_to_centre_atom_id": (T,),
     "token_id_to_pseudo_beta_atom_id": (T,),
+    # 3-atom local frames for PAE/FAPE: protein (N, CA, C), ligand
+    # (nearest, self, second-nearest) — consumed by model/losses.py
+    "token_id_to_frame_atom_id_0": (T,),
+    "token_id_to_frame_atom_id_1": (T,),
+    "token_id_to_frame_atom_id_2": (T,),
     "token_id_to_chunk_sizes": (T,),
     "asym_id": (T,),
     "entity_id": (T,),
@@ -64,6 +69,9 @@ INT_FEATURES = {
     "token_index",
     "token_id_to_centre_atom_id",
     "token_id_to_pseudo_beta_atom_id",
+    "token_id_to_frame_atom_id_0",
+    "token_id_to_frame_atom_id_1",
+    "token_id_to_frame_atom_id_2",
     "token_id_to_chunk_sizes",
     "asym_id",
     "entity_id",

@@ -78,6 +78,11 @@ def make_synthetic_batch(
         "is_key_res": (rng.random(n_tokens) < 0.1).astype(np.float32) * is_protein,
         "token_id_to_centre_atom_id": centre_atom,
         "token_id_to_pseudo_beta_atom_id": pseudo_beta,
+        # 3-atom frames: (centre-1, centre, centre+1) clipped — distinct
+        # atoms wherever the token has neighbors (enough for PAE/FAPE tests)
+        "token_id_to_frame_atom_id_0": np.maximum(centre_atom - 1, 0),
+        "token_id_to_frame_atom_id_1": centre_atom,
+        "token_id_to_frame_atom_id_2": np.minimum(centre_atom + 1, n_atoms - 1),
         "token_id_to_chunk_sizes": chunk_sizes,
         "asym_id": (is_ligand).astype(np.int32),
         "entity_id": (is_ligand).astype(np.int32),
@@ -136,4 +141,18 @@ def pad_batch(
     # keep index maps in-range / pointing at padding
     if da:
         out["atom_id_to_token_id"][a0:] = n_tokens - 1 if dt else t0 - 1
+    if dt:
+        # padded tokens' atom index maps point at a PADDED atom when one
+        # exists (x_exists=0 there keeps them out of token-existence masks
+        # in the pde/pae/plddt losses)
+        pad_atom = a0 if da else 0
+        for k in (
+            "token_id_to_centre_atom_id",
+            "token_id_to_pseudo_beta_atom_id",
+            "token_id_to_frame_atom_id_0",
+            "token_id_to_frame_atom_id_1",
+            "token_id_to_frame_atom_id_2",
+        ):
+            if k in out:
+                out[k][t0:] = pad_atom
     return out

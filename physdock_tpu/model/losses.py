@@ -267,6 +267,55 @@ def pde_loss(
     return masked_mean(mask, errors, axis=(-1, -2))
 
 
+def pae_loss(
+    p_pae,
+    x_pred,
+    x_gt,
+    x_exists,
+    *,
+    token_id_to_centre_atom_id,
+    token_id_to_frame_atom_id_0,
+    token_id_to_frame_atom_id_1,
+    token_id_to_frame_atom_id_2,
+    min_bin: float = 0.0,
+    max_bin: float = 32.0,
+    no_bins: int = 64,
+):
+    """Predicted-aligned-error cross entropy (loss.py:423-470).
+
+    Token centres expressed in every token's 3-atom local frame; the binned
+    frame-aligned error of the FIRST rollout sample is the target.  As in
+    the reference, invalid frames (near-collinear triplets) zero the error
+    rather than masking the loss term.
+    """
+    frame_ids = jnp.stack(
+        [
+            token_id_to_frame_atom_id_0,
+            token_id_to_frame_atom_id_1,
+            token_id_to_frame_atom_id_2,
+        ],
+        axis=-1,
+    )  # [T, 3]
+    tok_exists = jnp.take(x_exists, token_id_to_centre_atom_id, axis=-1)
+    xc_gt = jnp.take(x_gt, token_id_to_centre_atom_id, axis=-2)
+    gt_exp, gt_valid = express_coordinates_in_frame(xc_gt, x_gt[frame_ids])
+    x0 = x_pred[0]
+    xc_pred = jnp.take(x0, token_id_to_centre_atom_id, axis=-2)
+    pred_exp, pred_valid = express_coordinates_in_frame(xc_pred, x0[frame_ids])
+    error = jnp.linalg.norm(pred_exp - gt_exp + 1e-12, axis=-1)  # [T, T]
+    error = error * gt_valid[..., None] * pred_valid[..., None]
+    error = jax.lax.stop_gradient(error)
+    bins = jnp.clip(
+        ((error - min_bin) / (max_bin - min_bin) * no_bins).astype(jnp.int32),
+        0,
+        no_bins - 1,
+    )
+    labels = jax.nn.one_hot(bins, no_bins)
+    mask = tok_exists[..., None] * tok_exists[..., None, :]
+    l = softmax_cross_entropy(p_pae * mask[..., None], labels * mask[..., None])
+    return masked_mean(mask, l, axis=(-1, -2))
+
+
 def _nan_to_zero(x):
     """Branchless equivalent of the reference's NaN/Inf loss zeroing
     (loss.py:616-620)."""
@@ -393,7 +442,22 @@ def rffold_loss(
                     token_id_to_centre_atom_id=feats["token_id_to_centre_atom_id"],
                 ),
             ),
-            "pae_loss": (cfg.alpha_confidence * cfg.alpha_pae, jnp.zeros(())),
+            "pae_loss": (
+                cfg.alpha_confidence * cfg.alpha_pae,
+                pae_loss(
+                    outputs["p_pae"],
+                    outputs["x_pred"],
+                    feats["x_gt"],
+                    feats["x_exists"],
+                    token_id_to_centre_atom_id=feats["token_id_to_centre_atom_id"],
+                    token_id_to_frame_atom_id_0=feats["token_id_to_frame_atom_id_0"],
+                    token_id_to_frame_atom_id_1=feats["token_id_to_frame_atom_id_1"],
+                    token_id_to_frame_atom_id_2=feats["token_id_to_frame_atom_id_2"],
+                    min_bin=cfg.pae_min_bin,
+                    max_bin=cfg.pae_max_bin,
+                    no_bins=cfg.pae_no_bins,
+                ),
+            ),
             "pde_loss": (
                 cfg.alpha_confidence,
                 pde_loss(

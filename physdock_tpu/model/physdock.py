@@ -50,6 +50,7 @@ class PhysDock(nn.Module):
             no_blocks_evoformer=c.no_blocks_evoformer,
             no_blocks_pairformer=c.no_blocks_pairformer,
             no_blocks_template=c.no_blocks_template,
+            num_recycles=c.num_recycles,
             inf=c.inf,
             eps=c.eps,
             dtype=self.dtype,
@@ -149,13 +150,20 @@ class PhysDock(nn.Module):
         x_hat = centre_random_augmentation(k_aug, x, batch["x_exists"])
         return jax.lax.stop_gradient(x_hat), jax.lax.stop_gradient(t_hat)
 
-    def __call__(self, batch: Batch, key) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self, batch: Batch, key, return_conditioning: bool = False
+    ) -> Dict[str, jnp.ndarray]:
         a, ap, s, z = self.diffusion_conditioning(batch)
         x_hat, t_hat = self.augmentation_diffuse(batch, key)
         x_denoised = self.denoise(batch, x_hat, t_hat, a, ap, s, z)
-        return {
+        out = {
             "x_denoised": x_denoised,
             "x_hat": x_hat,
             "t_hat": t_hat,
             "p_distogram": self.distogram(z),
         }
+        if return_conditioning:
+            # reused by the mini-rollout confidence path (train/step.py)
+            # so the trunk runs once per train step
+            out["conditioning"] = (a, ap, s, z)
+        return out

@@ -19,7 +19,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from physdock_tpu.config import LossConfig
-from physdock_tpu.model.losses import physdock_loss
+from physdock_tpu.model.losses import physdock_loss, rffold_loss
 from physdock_tpu.train.optim import clip_by_norm, ema_update
 
 
@@ -47,6 +47,8 @@ def make_train_step(
     per_replica_clip: float = 0.1,
     ema_decay: float = 0.999,
     sigma_data: float = 16.0,
+    use_mini_rollout: bool = False,
+    mini_rollout_steps: int = 12,
 ):
     """Build the jitted sharded train step.
 
@@ -58,8 +60,36 @@ def make_train_step(
     dp = mesh.shape["dp"]
 
     def loss_fn(params, microbatch, key):
-        out = model.apply(params, microbatch, key)
-        return physdock_loss(out, microbatch, loss_cfg, sigma_data=sigma_data)
+        if not use_mini_rollout:
+            out = model.apply(params, microbatch, key)
+            return physdock_loss(out, microbatch, loss_cfg, sigma_data=sigma_data)
+        # mini-rollout confidence training (loss_module3.py:599-610,
+        # train.sh --mini-rollout-steps 12): run a short no-grad EDM rollout
+        # with the trunk conditioning already computed by the forward, then
+        # train the PAE/PDE/pLDDT heads on the rollout's first sample.
+        from physdock_tpu.model.diffusion import sample_diffusion
+
+        k_fwd, k_roll = jax.random.split(key)
+        out = model.apply(params, microbatch, k_fwd, return_conditioning=True)
+        a, ap, s, z = out.pop("conditioning")
+        x_pred = jax.lax.stop_gradient(
+            sample_diffusion(
+                model,
+                params,
+                microbatch,
+                k_roll,
+                num_sample=1,
+                steps=mini_rollout_steps,
+                conditioning=(a, ap, s, z),
+            )
+        )
+        p_pae, p_pde, p_plddt = model.apply(
+            params, microbatch, s, z, x_pred, method="confidence"
+        )
+        out.update(x_pred=x_pred, p_pae=p_pae, p_pde=p_pde, p_plddt=p_plddt)
+        return rffold_loss(
+            out, microbatch, loss_cfg, sigma_data=sigma_data, use_mini_rollout=True
+        )
 
     def device_grads(params, batch, key):
         """Runs per device under shard_map; batch is the local shard."""

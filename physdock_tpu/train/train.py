@@ -46,6 +46,13 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=400)
     p.add_argument("--keep_ckpts", type=int, default=40)
     p.add_argument("--ema_decay", type=float, default=0.999)
+    p.add_argument("--use_mini_rollout", action="store_true",
+                   help="train the PAE/PDE/pLDDT confidence heads on a "
+                        "short no-grad rollout (train.sh --use-mini-rollout)")
+    p.add_argument("--mini_rollout_steps", type=int, default=12)
+    p.add_argument("--alpha_pae", type=float, default=None,
+                   help="override LossConfig.alpha_pae (pae weight = "
+                        "alpha_confidence * alpha_pae)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--init_from_ckpt", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -64,7 +71,16 @@ def main(argv=None):
     batch_size = args.batch_size or n_dev
     assert batch_size % n_dev == 0
 
-    model = PhysDock(cfg=cfg.model, dtype=cfg.dtypes.compute_dtype)
+    import dataclasses as _dc
+
+    loss_cfg = cfg.loss
+    if args.alpha_pae is not None:
+        loss_cfg = _dc.replace(loss_cfg, alpha_pae=args.alpha_pae)
+    model = PhysDock(
+        cfg=cfg.model,
+        dtype=cfg.dtypes.compute_dtype,
+        with_confidence=args.use_mini_rollout,
+    )
     optimizer = make_optimizer(args.lr, args.warmup_steps)
 
     featurizer = SystemFeaturizer(
@@ -95,12 +111,19 @@ def main(argv=None):
             ema_params=restored["ema_params"],
         )
     else:
-        params = model.init(key, micro0, jax.random.PRNGKey(1))
+        params = model.init(
+            key,
+            micro0,
+            jax.random.PRNGKey(1),
+            method="init_all" if args.use_mini_rollout else None,
+        )
         state = init_train_state(params, optimizer)
 
     train_step = make_train_step(
-        model, optimizer, cfg.loss, mesh, ema_decay=args.ema_decay,
+        model, optimizer, loss_cfg, mesh, ema_decay=args.ema_decay,
         sigma_data=cfg.model.sigma_data,
+        use_mini_rollout=args.use_mini_rollout,
+        mini_rollout_steps=args.mini_rollout_steps,
     )
 
     batch = first

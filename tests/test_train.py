@@ -138,3 +138,79 @@ def test_checkpoint_roundtrip(tmp_path, toy_config):
     # params-only restore prefers EMA
     p = ck.restore_params(path)
     np.testing.assert_array_equal(p["w"], np.arange(4.0))
+
+
+def test_mini_rollout_confidence_training(toy_config):
+    """Mini-rollout path (loss_module3.py:599-610 + train.sh
+    --mini-rollout-steps 12): plddt/pae/pde losses are real (nonzero),
+    decrease under training, and infer/metrics ranking-confidence runs on
+    the trained head outputs."""
+    import dataclasses
+
+    from physdock_tpu.data.synthetic import make_synthetic_batch
+    from physdock_tpu.infer.metrics import get_metrics
+    from physdock_tpu.model.diffusion import sample_diffusion
+    from physdock_tpu.model.physdock import PhysDock
+    from physdock_tpu.parallel.mesh import batch_sharding, make_mesh
+    from physdock_tpu.train.optim import make_optimizer
+    from physdock_tpu.train.step import init_train_state, make_train_step
+
+    n = 2
+    mesh = make_mesh(dp=n, devices=jax.devices()[:n])
+    model = PhysDock(cfg=toy_config.model, with_confidence=True)
+    optimizer = make_optimizer(peak_lr=1e-3, warmup_steps=1)
+    loss_cfg = dataclasses.replace(toy_config.loss, alpha_pae=1.0,
+                                   alpha_confidence=1.0)
+
+    single = make_synthetic_batch(n_tokens=12, n_atoms=36, n_msa=4, n_ligand_tokens=4)
+    batch = {
+        k: jnp.asarray(np.stack([np.asarray(v)] * n)) for k, v in single.items()
+    }
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    micro = {k: jnp.asarray(v) for k, v in single.items()}
+    params = model.init(
+        jax.random.PRNGKey(0), micro, jax.random.PRNGKey(1), method="init_all"
+    )
+    state = init_train_state(params, optimizer)
+    step = make_train_step(
+        model, optimizer, loss_cfg, mesh,
+        use_mini_rollout=True, mini_rollout_steps=2,
+    )
+
+    first_logs = None
+    for i in range(6):
+        state, logs = step(state, batch, jax.random.PRNGKey(2))  # fixed key
+        if first_logs is None:
+            first_logs = {k: float(v) for k, v in logs.items()}
+    last_logs = {k: float(v) for k, v in logs.items()}
+
+    for name in ("plddt_loss", "pae_loss", "pde_loss"):
+        assert first_logs[name] > 0, (name, first_logs)
+        assert np.isfinite(last_logs[name]), (name, last_logs)
+        # same batch + same key: confidence losses must go down
+        assert last_logs[name] < first_logs[name], (name, first_logs, last_logs)
+
+    # ranking-confidence consumes the trained head outputs end to end
+    # (jitted: eager apply floods the XLA CPU compile cache and has
+    # segfaulted the backend when run late in the full suite)
+    @jax.jit
+    def heads(params, batch, k1, k2):
+        out = model.apply(params, batch, k1, return_conditioning=True)
+        a, ap, s, z = out["conditioning"]
+        x_pred = sample_diffusion(
+            model, params, batch, k2,
+            num_sample=1, steps=2, conditioning=(a, ap, s, z),
+        )
+        p_pae, p_pde, p_plddt = model.apply(
+            params, batch, s, z, x_pred, method="confidence"
+        )
+        return x_pred, p_pae, p_pde, p_plddt
+
+    x_pred, p_pae, p_pde, p_plddt = heads(
+        state.params, micro, jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+    )
+    m = get_metrics(
+        np.asarray(p_pae), np.asarray(p_plddt), np.asarray(x_pred[0]), single
+    )
+    for k in ("mean_plddt", "ptm", "iptm", "ranking_confidence"):
+        assert np.isfinite(m[k]), m
