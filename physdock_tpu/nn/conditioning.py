@@ -178,6 +178,7 @@ class TokenEmbedder(nn.Module):
     no_blocks_evoformer: int
     no_blocks_pairformer: int
     no_blocks_template: int = 2
+    num_recycles: int = 0
     inf: float = 1e9
     eps: float = 1e-8
     dtype: Dtype = jnp.float32
@@ -191,7 +192,7 @@ class TokenEmbedder(nn.Module):
             jax.nn.silu(Linear(self.c_s, dtype=self.dtype, name="linear_a")(a)),
             batch["token_id_to_chunk_sizes"],
         )
-        s = (
+        s0 = (
             pooled
             + Linear(self.c_s, use_bias=False, dtype=self.dtype, name="linear_target_feat")(
                 batch["target_feat"].astype(self.dtype)
@@ -204,9 +205,9 @@ class TokenEmbedder(nn.Module):
             )
         )
 
-        z = (
-            Linear(self.c_z, dtype=self.dtype, name="linear_s_i")(s)[:, None, :]
-            + Linear(self.c_z, dtype=self.dtype, name="linear_s_j")(s)[None, :, :]
+        z0 = (
+            Linear(self.c_z, dtype=self.dtype, name="linear_s_i")(s0)[:, None, :]
+            + Linear(self.c_z, dtype=self.dtype, name="linear_s_j")(s0)[None, :, :]
             + RelPosEmbedder(c_z=self.c_z, dtype=self.dtype, name="rel_pos_embedder")(
                 batch["asym_id"],
                 batch["sym_id"],
@@ -219,11 +220,13 @@ class TokenEmbedder(nn.Module):
             )
         )
 
-        m = Linear(self.c_m, use_bias=False, dtype=self.dtype, name="linear_msa_feat")(
-            batch["msa_feat"].astype(self.dtype)
-        ) + Linear(self.c_m, dtype=self.dtype, name="linear_s_input")(s)
-
-        m, z = Evoformer(
+        # submodule INSTANCES (created once; repeated calls share params —
+        # the recycle loop reuses the same trunk)
+        linear_msa_feat = Linear(
+            self.c_m, use_bias=False, dtype=self.dtype, name="linear_msa_feat"
+        )
+        linear_s_input = Linear(self.c_m, dtype=self.dtype, name="linear_s_input")
+        evoformer = Evoformer(
             c_z=self.c_z,
             no_blocks=self.no_blocks_evoformer,
             inf=self.inf,
@@ -231,9 +234,8 @@ class TokenEmbedder(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="evoformer",
-        )(m, z, z_mask)
-
-        z = z + TemplatePairEmbedder(
+        )
+        template_embedder = TemplatePairEmbedder(
             c_z=self.c_z,
             no_blocks=self.no_blocks_template,
             inf=self.inf,
@@ -241,22 +243,51 @@ class TokenEmbedder(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="template_pair_embedder",
-        )(z, batch["templ_feat"], batch["asym_id"], batch["t_mask"], z_mask)
-
-        s = Linear(self.c_s, use_bias=False, dtype=self.dtype, name="linear_m")(
-            m[0]
-        ) + Linear(self.c_s, use_bias=False, dtype=self.dtype, name="linear_s")(s)
-
-        s, z = Pairformer(
+        )
+        linear_m = Linear(self.c_s, use_bias=False, dtype=self.dtype, name="linear_m")
+        linear_s2 = Linear(self.c_s, use_bias=False, dtype=self.dtype, name="linear_s")
+        pairformer = Pairformer(
             no_blocks=self.no_blocks_pairformer,
             inf=self.inf,
             eps=self.eps,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="pairformer",
-        )(s, z, z_mask)
+        )
+        if self.num_recycles > 0:
+            # training-era capability (configs_old.py num_recycles); the
+            # reference repo never shipped its recycling code, so this is the
+            # AF2-style recycle embedder: zero-init projection of the
+            # previous iteration's (s, z), detached between iterations.
+            # New params only exist when num_recycles > 0 — released-weight
+            # conversion (num_recycles=0) is unaffected.
+            rec_norm_s = RMSNorm(eps=self.eps, dtype=self.dtype, name="recycle_norm_s")
+            rec_lin_s = Linear(
+                self.c_s, init="final", use_bias=False, dtype=self.dtype,
+                name="recycle_linear_s",
+            )
+            rec_norm_z = RMSNorm(eps=self.eps, dtype=self.dtype, name="recycle_norm_z")
+            rec_lin_z = Linear(
+                self.c_z, init="final", use_bias=False, dtype=self.dtype,
+                name="recycle_linear_z",
+            )
 
-        return s, z
+        s_out = z_out = None
+        msa = batch["msa_feat"].astype(self.dtype)
+        for r in range(self.num_recycles + 1):
+            s_in, z_in = s0, z0
+            if r > 0:
+                s_in = s0 + rec_lin_s(rec_norm_s(jax.lax.stop_gradient(s_out)))
+                z_in = z0 + rec_lin_z(rec_norm_z(jax.lax.stop_gradient(z_out)))
+            m = linear_msa_feat(msa) + linear_s_input(s_in)
+            m, z = evoformer(m, z_in, z_mask)
+            z = z + template_embedder(
+                z, batch["templ_feat"], batch["asym_id"], batch["t_mask"], z_mask
+            )
+            s = linear_m(m[0]) + linear_s2(s_in)
+            s_out, z_out = pairformer(s, z, z_mask)
+
+        return s_out, z_out
 
 
 class DiffusionConditioning(nn.Module):
@@ -275,6 +306,7 @@ class DiffusionConditioning(nn.Module):
     no_blocks_evoformer: int
     no_blocks_pairformer: int
     no_blocks_template: int = 2
+    num_recycles: int = 0
     inf: float = 1e9
     eps: float = 1e-8
     dtype: Dtype = jnp.float32
@@ -303,6 +335,7 @@ class DiffusionConditioning(nn.Module):
             no_blocks_evoformer=self.no_blocks_evoformer,
             no_blocks_pairformer=self.no_blocks_pairformer,
             no_blocks_template=self.no_blocks_template,
+            num_recycles=self.num_recycles,
             inf=self.inf,
             eps=self.eps,
             dtype=self.dtype,

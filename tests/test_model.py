@@ -126,3 +126,46 @@ def test_confidence_head(toy_config, tiny_batch):
     assert plddt.shape == (A, 50)
     for t in (pae, pde, plddt):
         assert np.all(np.isfinite(np.asarray(t)))
+
+
+def test_recycling_trunk(toy_config, tiny_batch):
+    """num_recycles>0 (configs_old.py training-era capability): recycled
+    (s,z) re-enter the trunk through zero-init projections — identical to
+    num_recycles=0 at init, param names unchanged for the release model."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from physdock_tpu.model.physdock import PhysDock
+
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch.items()}
+    m0 = PhysDock(cfg=toy_config.model)
+    cfg2 = dataclasses.replace(toy_config.model, num_recycles=2)
+    m2 = PhysDock(cfg=cfg2)
+    p0 = m0.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    p2 = m2.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+
+    # recycle params exist only with recycling on
+    te0 = p0["params"]["diffusion_conditioning"]["token_embedder"]
+    te2 = p2["params"]["diffusion_conditioning"]["token_embedder"]
+    assert "recycle_linear_s" not in te0
+    assert "recycle_linear_s" in te2 and "recycle_linear_z" in te2
+
+    # zero-init recycle projection => same conditioning at init
+    s0, z0 = m0.apply(p0, batch, method="conditioning")[2:4]
+    # graft the shared params of p0 into p2 (same names)
+    import flax
+
+    flat0 = flax.traverse_util.flatten_dict(p0["params"])
+    flat2 = dict(flax.traverse_util.flatten_dict(p2["params"]))
+    flat2.update(flat0)
+    p2g = {"params": flax.traverse_util.unflatten_dict(flat2)}
+    s2, z2 = m2.apply(p2g, batch, method="conditioning")[2:4]
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray(s0), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(z2), np.asarray(z0), rtol=2e-4, atol=2e-4
+    )
