@@ -20,12 +20,19 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-i", "--input_pkl", required=True)
     p.add_argument("-s", "--smiles_txt", required=True)
+    p.add_argument("--vs_batch_size", type=int, default=1,
+                   help="ligands docked per device program (vmapped "
+                        "multi-ligand batching; 1 = sequential like the "
+                        "reference)")
     add_common_flags(p)
     args = p.parse_args(argv)
 
     smiles = load_txt(args.smiles_txt)
     pipe = build_pipeline(args)
-    results = pipe.screen(args.input_pkl, smiles, args.output_dir)
+    results = pipe.screen(
+        args.input_pkl, smiles, args.output_dir,
+        batch_size=args.vs_batch_size,
+    )
     dump_json(results, os.path.join(args.output_dir, "screening_results.json"))
     for r in results:
         tag = r.get("error", f"poses={r.get('num_poses')}")

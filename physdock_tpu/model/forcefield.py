@@ -168,6 +168,27 @@ def build_ligand_ff(
     )
 
 
+def stack_ligand_ffs(ffs: Sequence[LigandFF]) -> LigandFF:
+    """Stack per-ligand force fields into one batched LigandFF.
+
+    Every term array is padded to the max capacity across the batch (masks
+    zero the padding), giving a uniform pytree for vmapped virtual
+    screening over a ligand batch.
+    """
+
+    def pad_stack(field: str) -> jnp.ndarray:
+        arrs = [np.asarray(getattr(f, field)) for f in ffs]
+        n = max(a.shape[0] for a in arrs)
+        return jnp.asarray(np.stack([_pad(a, n) for a in arrs]))
+
+    return LigandFF(
+        **{
+            f.name: pad_stack(f.name)
+            for f in dataclasses.fields(LigandFF)
+        }
+    )
+
+
 K_BOND = 100.0
 K_ANG = 50.0
 K_TOR = 10.0

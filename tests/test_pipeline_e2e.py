@@ -101,3 +101,55 @@ def test_screening_pipeline_end_to_end(tmp_path, toy_config):
     assert len(results) == 1
     assert "error" not in results[0], results[0]
     assert results[0]["num_poses"] == 1
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/demo/screening/6kzd.pkl.gz"),
+    reason="demo assets unavailable",
+)
+def test_screening_batched_multi_ligand(tmp_path):
+    """Multi-ligand VS batching: several SMILES docked in one vmapped device
+    program (guided), outputs per md5(smi) dir."""
+    from physdock_tpu.cli.common import load_params
+    from physdock_tpu.config import PhysDockConfig
+    from physdock_tpu.data.feature_loader import SystemFeaturizer
+    from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
+
+    cfg = PhysDockConfig.named(
+        "toy", crop_size=64, atom_crop_size=256, num_augmentation_sample=2
+    )
+    fz = SystemFeaturizer(cfg.data, seed=0)
+    params = load_params(None, cfg)
+    pipe = DockingPipeline(
+        cfg,
+        params,
+        fz,
+        SamplerSettings(
+            max_samples=2,
+            num_samples_per_round=2,
+            max_rounds=2,
+            steps=2,
+            enable_physics_correction=True,
+            num_confs=4,
+            enable_ranking=False,
+        ),
+    )
+    smiles = ["CCOc1ccccc1", "CCNC(=O)c1ccccc1", "CCCCO"]
+    results = pipe.screen(
+        "/root/reference/demo/screening/6kzd.pkl.gz",
+        smiles,
+        str(tmp_path / "vs"),
+        batch_size=3,
+    )
+    assert len(results) == 3
+    for r in results:
+        assert "error" not in r, r
+        assert r["num_poses"] == 2
+        assert r["vs_batch_size"] >= 1
+    # outputs landed in per-md5 dirs
+    from physdock_tpu.utils.io import md5_string
+
+    for smi in smiles:
+        d = tmp_path / "vs" / md5_string(smi)
+        assert (d / "pred_rank0.pdb").exists(), smi
