@@ -169,24 +169,30 @@ def build_restraints(mol: Molecule, chiral_signs=None) -> RestraintSet:
 
 
 def _loss_and_grad(x: np.ndarray, rs: RestraintSet):
-    g = np.zeros_like(x)
+    """Restraint loss + gradient; x may be [N, 3] or batched [C, N, 3]
+    (the conformer bank refines every sample in one vectorized pass)."""
+    squeeze = x.ndim == 2
+    xb = x[None] if squeeze else x
+    g = np.zeros_like(xb)
     i, j = rs.pairs[:, 0], rs.pairs[:, 1]
-    dvec = x[i] - x[j]
+    dvec = xb[:, i] - xb[:, j]  # [C, P, 3]
     d = np.linalg.norm(dvec, axis=-1) + 1e-9
     diff = d - rs.targets
-    loss = float(np.sum(rs.weights * diff**2))
-    gpair = (2 * rs.weights * diff / d)[:, None] * dvec
-    np.add.at(g, i, gpair)
-    np.add.at(g, j, -gpair)
+    loss = np.sum(rs.weights * diff**2, axis=-1)  # [C]
+    gpair = (2 * rs.weights * diff / d)[..., None] * dvec
+    np.add.at(g, (slice(None), i), gpair)
+    np.add.at(g, (slice(None), j), -gpair)
 
     ri, rj = rs.rep_pairs[:, 0], rs.rep_pairs[:, 1]
-    rvec = x[ri] - x[rj]
+    rvec = xb[:, ri] - xb[:, rj]
     rd = np.linalg.norm(rvec, axis=-1) + 1e-9
     viol = np.maximum(rs.rep_dist - rd, 0.0)
-    loss += float(np.sum(2.0 * viol**2))
-    grep = (-4.0 * viol / rd)[:, None] * rvec
-    np.add.at(g, ri, grep)
-    np.add.at(g, rj, -grep)
+    loss = loss + np.sum(2.0 * viol**2, axis=-1)
+    grep = (-4.0 * viol / rd)[..., None] * rvec
+    np.add.at(g, (slice(None), ri), grep)
+    np.add.at(g, (slice(None), rj), -grep)
+    if squeeze:
+        return float(loss[0]), g[0]
     return loss, g
 
 
@@ -204,12 +210,20 @@ def _minimize(x: np.ndarray, rs: RestraintSet, iters: int = 300, lr: float = 0.0
     return x, _loss_and_grad(x, rs)[0]
 
 
-def _chirality_violations(x: np.ndarray, rs: RestraintSet) -> int:
-    bad = 0
+def _chirality_violations(x: np.ndarray, rs: RestraintSet):
+    """Violation count; scalar for [N, 3], [C] array for batched input."""
+    squeeze = x.ndim == 2
+    xb = x[None] if squeeze else x
+    bad = np.zeros(xb.shape[0], np.int32)
     for centre, (a, b, c, d), sign in rs.chiral:
-        vol = np.dot(np.cross(x[b] - x[a], x[c] - x[a]), x[d] - x[a])
-        if vol * sign < 0:
-            bad += 1
+        vol = np.einsum(
+            "ci,ci->c",
+            np.cross(xb[:, b] - xb[:, a], xb[:, c] - xb[:, a]),
+            xb[:, d] - xb[:, a],
+        )
+        bad += (vol * sign < 0).astype(np.int32)
+    if squeeze:
+        return int(bad[0])
     return bad
 
 
@@ -293,16 +307,26 @@ def generate_conformers(
         base = embed_molecule(mol, rng, chiral_signs=chiral_signs)
     else:
         base = np.asarray(base_coords, np.float32)
-    out = [base - base.mean(0)]
-    for _ in range(num_confs - 1):
-        x = randomize_torsions(mol, base, rng)
-        x, _ = _minimize(x, rs, refine_iters)
-        if rs.chiral and _chirality_violations(x, rs):
-            xm, _ = _minimize(x * np.array([1.0, 1.0, -1.0]), rs, refine_iters // 2)
-            if _chirality_violations(xm, rs) < _chirality_violations(x, rs):
-                x = xm
-        out.append(x - x.mean(0))
-    return np.stack(out).astype(np.float32)
+    if num_confs == 1:
+        return (base - base.mean(0))[None].astype(np.float32)
+    # torsion-resample all conformers, then refine them as ONE batched
+    # minimization (the per-conformer python loop dominated VS host time)
+    xs = np.stack(
+        [randomize_torsions(mol, base, rng) for _ in range(num_confs - 1)]
+    )
+    xs, _ = _minimize(xs, rs, refine_iters)
+    if rs.chiral:
+        viol = _chirality_violations(xs, rs)
+        bad = viol > 0
+        if bad.any():
+            xm, _ = _minimize(
+                xs[bad] * np.array([1.0, 1.0, -1.0]), rs, refine_iters // 2
+            )
+            better = _chirality_violations(xm, rs) < viol[bad]
+            idx = np.flatnonzero(bad)[better]
+            xs[idx] = xm[better]
+    out = np.concatenate([(base - base.mean(0))[None], xs - xs.mean(1, keepdims=True)])
+    return out.astype(np.float32)
 
 
 def _measured_chirality(mol: Molecule, coords: Optional[np.ndarray]):
