@@ -192,7 +192,13 @@ class DockingPipeline:
             ligand_sdf=ligand_sdf,
             num_msa_rounds=max(1, s.max_rounds),
         )
-        batch = {k: jnp.asarray(v) for k, v in feats.items()}
+        # pair masks are derived on device from the 1-D masks (outer
+        # products; shipping ap_mask costs ~16 MB/system at atom crop 2048)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in feats.items()
+            if k not in ("ap_mask", "z_mask")
+        }
         batch_msa_feat = meta.pop("batch_msa_feat", None)
         if s.enable_physics_correction:
             guidance, conf_bank = self._build_guidance(batch, meta)
@@ -547,6 +553,7 @@ class DockingPipeline:
         stacked = {
             k: jnp.asarray(np.stack([np.asarray(f[k]) for f in feats_list]))
             for k in feats_list[0]
+            if k not in ("ap_mask", "z_mask")  # derived on device
         }
         if guided:
             ff_stacked = stack_ligand_ffs(ffs)

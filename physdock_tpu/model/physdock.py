@@ -29,6 +29,24 @@ from physdock_tpu.utils.geometry import centre_random_augmentation
 Batch = Dict[str, jnp.ndarray]
 
 
+def _ensure_pair_masks(batch: Batch) -> Batch:
+    """Derive z_mask/ap_mask on device when absent.
+
+    The pair masks are outer products of the 1-D masks; shipping them from
+    the host costs ~16 MB per system at atom crop 2048 (a real tax over the
+    remote-device link) for data XLA can rebuild in-register."""
+    if "z_mask" in batch and "ap_mask" in batch:
+        return batch
+    batch = dict(batch)
+    if "z_mask" not in batch:
+        s = batch["s_mask"].astype(jnp.float32)
+        batch["z_mask"] = s[..., :, None] * s[..., None, :]
+    if "ap_mask" not in batch:
+        a = batch["a_mask"].astype(jnp.float32)
+        batch["ap_mask"] = a[..., :, None] * a[..., None, :]
+    return batch
+
+
 class PhysDock(nn.Module):
     cfg: ModelConfig
     dtype: Any = jnp.float32
@@ -89,9 +107,10 @@ class PhysDock(nn.Module):
             )
 
     def conditioning(self, batch: Batch):
-        return self.diffusion_conditioning(batch)
+        return self.diffusion_conditioning(_ensure_pair_masks(batch))
 
     def denoise(self, batch: Batch, x_hat, t_hat, a, ap, s, z, bias_cache=None):
+        batch = _ensure_pair_masks(batch)
         return self.dit(
             x_hat,
             t_hat,
@@ -110,6 +129,7 @@ class PhysDock(nn.Module):
         """Per-block DiT attention biases, computed once per round and
         reused across every diffusion step (HBM-traffic optimization; the
         reference recomputes per block x step)."""
+        batch = _ensure_pair_masks(batch)
         return self.dit.compute_bias_cache(
             ap, z, batch["ap_mask"], batch["z_mask"]
         )
@@ -128,7 +148,7 @@ class PhysDock(nn.Module):
     def confidence(self, batch: Batch, s, z, x_pred):
         """PAE/PDE/pLDDT logits from conditioning + predicted coords
         (requires with_confidence=True)."""
-        return self.confidence_module(batch, s, z, x_pred)
+        return self.confidence_module(_ensure_pair_masks(batch), s, z, x_pred)
 
     def distogram(self, z):
         p = self.linear_distogram(z).astype(jnp.float32)
