@@ -148,23 +148,70 @@ def check_pose(
 
     rec = np.asarray(x_pred)[[i for i in range(len(x_pred)) if i not in set(lig_idx.tolist())]]
     if len(rec):
-        dmin = np.min(
-            np.linalg.norm(lig[:, None] - rec[None], axis=-1)
-        )
+        d_lr = np.linalg.norm(lig[:, None] - rec[None], axis=-1)
+        dmin = float(np.min(d_lr))
         out["no_receptor_clash"] = bool(dmin > 1.2)
+        # PoseBusters minimum_distance_to_protein: the ligand must touch
+        # the receptor (not float away) ...
+        out["near_protein_ok"] = bool(dmin < 5.0)
+        # ... and volume_overlap_with_protein <= 7.5% (approximated by the
+        # fraction of ligand atoms buried inside a receptor atom's 0.8 x
+        # vdW-contact shell)
+        buried = float(np.mean(np.min(d_lr, axis=1) < 0.8 * 1.7))
+        out["volume_overlap_ok"] = bool(buried <= 0.075)
     else:
         out["no_receptor_clash"] = True
+
+    # aromatic ring flatness (PoseBusters threshold 0.25 A out-of-plane)
+    arom = mol.aromatic_atoms()
+    flat = True
+    for ring in mol.rings():
+        if len(ring) < 5 or not all(arom[a] for a in ring):
+            continue
+        pts = lig[ring] - lig[ring].mean(0)
+        dev = np.linalg.svd(pts, compute_uv=False)[-1] / np.sqrt(len(ring))
+        if dev > 0.25:
+            flat = False
+    out["aromatic_flatness_ok"] = flat
+
+    # double-bond flatness: the sp2 fragment (both atoms + their
+    # neighbours) stays planar within 0.25 A
+    db_flat = True
+    adj_l = mol.adjacency
+    for i, j, o in mol.bonds:
+        if o != 2.0 or arom[i] or arom[j]:
+            continue
+        frag = sorted({i, j, *adj_l[i], *adj_l[j]})
+        if len(frag) < 4:
+            continue
+        pts = lig[frag] - lig[frag].mean(0)
+        dev = np.linalg.svd(pts, compute_uv=False)[-1] / np.sqrt(len(frag))
+        if dev > 0.25:
+            db_flat = False
+    out["double_bond_flatness_ok"] = db_flat
 
     try:
         import jax.numpy as jnp
 
-        from physdock_tpu.model.forcefield import build_ligand_ff, chirality_correct
+        from physdock_tpu.model.forcefield import (
+            build_ligand_ff,
+            chirality_correct,
+            ff_energy,
+        )
 
         ff = build_ligand_ff(
             z.tolist(), [(i, j) for i, j, _ in mol.bonds], mol.coords,
             chiral_centers=mol.chiral_centers(),
         )
         out["chirality_ok"] = bool(chirality_correct(jnp.asarray(lig)[None], ff)[0])
+        # internal energy (PoseBusters uses a 100x UFF-ensemble ratio; here
+        # the restraint-field energy of the pose vs the reference conformer
+        # plus a per-atom floor)
+        e_pose = float(ff_energy(jnp.asarray(lig), ff))
+        e_ref = float(ff_energy(jnp.asarray(mol.coords, jnp.float32), ff))
+        out["internal_energy_ok"] = bool(
+            e_pose <= 100.0 * max(e_ref, 0.1 * n)
+        )
     except Exception:
         out["chirality_ok"] = True
 
