@@ -137,6 +137,7 @@ class PhysDock(nn.Module):
     def init_all(self, batch: Batch, key):
         """Initialization entry creating ALL params (incl. the optional
         confidence head, which the training forward alone doesn't touch)."""
+        batch = _ensure_pair_masks(batch)
         out = self(batch, key)
         if self.with_confidence:
             a, ap, s, z = self.diffusion_conditioning(batch)
@@ -173,6 +174,7 @@ class PhysDock(nn.Module):
     def __call__(
         self, batch: Batch, key, return_conditioning: bool = False
     ) -> Dict[str, jnp.ndarray]:
+        batch = _ensure_pair_masks(batch)
         a, ap, s, z = self.diffusion_conditioning(batch)
         x_hat, t_hat = self.augmentation_diffuse(batch, key)
         x_denoised = self.denoise(batch, x_hat, t_hat, a, ap, s, z)
