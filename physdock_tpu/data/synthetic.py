@@ -62,9 +62,42 @@ def make_synthetic_batch(
     for i in range(n_prot, n_tokens - 1):
         token_bonds[i, i + 1] = token_bonds[i + 1, i] = 1.0
 
-    templ = np.zeros((n_tokens, n_tokens, 40), np.float32)
-    templ[..., rng.integers(0, 39)] = 1.0
-    templ[..., 39] = is_protein[:, None] * is_protein[None, :]
+    # fat one-hot features built with the REAL structure (one-hot + flag
+    # channels) so the compact int8 transport round-trips exactly
+    templ_mask = is_protein[:, None] * is_protein[None, :]
+    templ_bins = rng.integers(0, 39, (n_tokens, n_tokens))
+    templ = np.eye(39, dtype=np.float32)[templ_bins] * templ_mask[..., None]
+    templ = np.concatenate([templ, templ_mask[..., None]], axis=-1)
+
+    msa_tok = rng.integers(0, 32, (n_msa, n_tokens))
+    msa_del = np.where(rng.random((n_msa, n_tokens)) < 0.1,
+                       rng.integers(1, 9, (n_msa, n_tokens)), 0)
+    msa_feat = np.concatenate(
+        [
+            np.eye(32, dtype=np.float32)[msa_tok],
+            np.clip(msa_del, 0, 1).astype(np.float32)[..., None],
+            (np.arctan(msa_del / 3.0) * (2.0 / np.pi)).astype(np.float32)[..., None],
+        ],
+        axis=-1,
+    )
+
+    d_tok = np.minimum(
+        np.abs(np.arange(n_tokens)[:, None] - np.arange(n_tokens)[None]), 31
+    )
+    same_conf = (d_tok == 0).astype(np.float32)
+    rel_bond_type = rng.integers(0, 5, (n_tokens, n_tokens))
+    rel = np.concatenate(
+        [
+            np.eye(32, dtype=np.float32)[d_tok] * same_conf[..., None],
+            np.eye(5, dtype=np.float32)[rel_bond_type] * token_bonds[..., None],
+            token_bonds[..., None],  # bonded
+            token_bonds[..., None] * 1.5,  # order-as-double
+            (token_bonds * (rng.random((n_tokens, n_tokens)) < 0.5))[..., None],
+            (token_bonds * (rng.random((n_tokens, n_tokens)) < 0.5))[..., None],
+            (token_bonds * (rng.random((n_tokens, n_tokens)) < 0.5))[..., None],
+        ],
+        axis=-1,
+    ).astype(np.float32)
 
     batch = {
         "residue_index": np.arange(n_tokens, dtype=np.int32),
@@ -92,7 +125,7 @@ def make_synthetic_batch(
         "target_feat": rng.normal(0, 1, (n_tokens, 65)).astype(np.float32),
         "key_res_feat": rng.normal(0, 1, (n_tokens, 7)).astype(np.float32),
         "pocket_res_feat": (rng.random(n_tokens) < 0.2).astype(np.float32),
-        "rel_tok_feat": (rng.random((n_tokens, n_tokens, 42)) < 0.05).astype(np.float32),
+        "rel_tok_feat": rel,
         "ref_space_uid": atom_tok.copy(),
         "ref_feat": rng.normal(0, 1, (n_atoms, 167)).astype(np.float32),
         "ref_pos": ref_pos,
@@ -100,7 +133,7 @@ def make_synthetic_batch(
         "atom_id_to_token_id": atom_tok,
         "x_gt": x_gt,
         "x_exists": np.ones(n_atoms, np.float32),
-        "msa_feat": rng.normal(0, 1, (n_msa, n_tokens, 34)).astype(np.float32),
+        "msa_feat": msa_feat,
         "templ_feat": templ,
         "t_mask": np.float32(1.0),
     }

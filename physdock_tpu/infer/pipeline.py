@@ -192,13 +192,12 @@ class DockingPipeline:
             ligand_sdf=ligand_sdf,
             num_msa_rounds=max(1, s.max_rounds),
         )
-        # pair masks are derived on device from the 1-D masks (outer
-        # products; shipping ap_mask costs ~16 MB/system at atom crop 2048)
-        batch = {
-            k: jnp.asarray(v)
-            for k, v in feats.items()
-            if k not in ("ap_mask", "z_mask")
-        }
+        # compact transport: one-hot features ship as int8 indices and are
+        # re-expanded on device (model/compact.py) — ~27 MB -> ~0.5 MB per
+        # system at crop 256/2048
+        from physdock_tpu.model.compact import compact_batch_np, compact_msa_np
+
+        batch = {k: jnp.asarray(v) for k, v in compact_batch_np(feats).items()}
         batch_msa_feat = meta.pop("batch_msa_feat", None)
         if s.enable_physics_correction:
             guidance, conf_bank = self._build_guidance(batch, meta)
@@ -232,7 +231,9 @@ class DockingPipeline:
             if batch_msa_feat is not None:
                 # MSA clusters resampled per round (redocking.py:187-188);
                 # same shape every round -> single compile
-                batch["msa_feat"] = jnp.asarray(batch_msa_feat[rnd % len(batch_msa_feat)])
+                c = compact_msa_np(batch_msa_feat[rnd % len(batch_msa_feat)])
+                batch["msa_tok_c"] = jnp.asarray(c["msa_tok_c"])
+                batch["msa_del_c"] = jnp.asarray(c["msa_del_c"])
             conditioning = self._jit_cond(self.params, batch)
             # round 0: unguided at high sigma (align_ref_pos=recycle_id>0,
             # redocking.py:290); FF relaxation at low sigma stays on.
@@ -550,10 +551,12 @@ class DockingPipeline:
                 out.append(r)
             return out
 
+        from physdock_tpu.model.compact import compact_batch_np, compact_msa_np
+
+        compacts = [compact_batch_np(f) for f in feats_list]
         stacked = {
-            k: jnp.asarray(np.stack([np.asarray(f[k]) for f in feats_list]))
-            for k in feats_list[0]
-            if k not in ("ap_mask", "z_mask")  # derived on device
+            k: jnp.asarray(np.stack([np.asarray(c[k]) for c in compacts]))
+            for k in compacts[0]
         }
         if guided:
             ff_stacked = stack_ligand_ffs(ffs)
@@ -592,8 +595,12 @@ class DockingPipeline:
             keys = jax.random.split(k_round, B)
             for b, bm in enumerate(batch_msa):
                 if bm is not None:
-                    stacked["msa_feat"] = (
-                        stacked["msa_feat"].at[b].set(bm[rnd % len(bm)])
+                    c = compact_msa_np(bm[rnd % len(bm)])
+                    stacked["msa_tok_c"] = (
+                        stacked["msa_tok_c"].at[b].set(c["msa_tok_c"])
+                    )
+                    stacked["msa_del_c"] = (
+                        stacked["msa_del_c"].at[b].set(c["msa_del_c"])
                     )
             conds = cond_fn(self.params, stacked)
             if guided:

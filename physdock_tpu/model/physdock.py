@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from physdock_tpu.config import ModelConfig
+from physdock_tpu.model.compact import expand_batch
 from physdock_tpu.nn.conditioning import DiffusionConditioning
 from physdock_tpu.nn.confidence import ConfidenceModule
 from physdock_tpu.nn.primitives import Linear
@@ -27,6 +28,12 @@ from physdock_tpu.nn.transformers import AF3DiT
 from physdock_tpu.utils.geometry import centre_random_augmentation
 
 Batch = Dict[str, jnp.ndarray]
+
+
+def prepare_batch(batch: Batch) -> Batch:
+    """Expand compact int8 transport features + derive pair masks (both
+    no-ops when the batch already carries the fat f32 forms)."""
+    return _ensure_pair_masks(expand_batch(batch))
 
 
 def _ensure_pair_masks(batch: Batch) -> Batch:
@@ -107,10 +114,10 @@ class PhysDock(nn.Module):
             )
 
     def conditioning(self, batch: Batch):
-        return self.diffusion_conditioning(_ensure_pair_masks(batch))
+        return self.diffusion_conditioning(prepare_batch(batch))
 
     def denoise(self, batch: Batch, x_hat, t_hat, a, ap, s, z, bias_cache=None):
-        batch = _ensure_pair_masks(batch)
+        batch = prepare_batch(batch)
         return self.dit(
             x_hat,
             t_hat,
@@ -129,7 +136,7 @@ class PhysDock(nn.Module):
         """Per-block DiT attention biases, computed once per round and
         reused across every diffusion step (HBM-traffic optimization; the
         reference recomputes per block x step)."""
-        batch = _ensure_pair_masks(batch)
+        batch = prepare_batch(batch)
         return self.dit.compute_bias_cache(
             ap, z, batch["ap_mask"], batch["z_mask"]
         )
@@ -137,7 +144,7 @@ class PhysDock(nn.Module):
     def init_all(self, batch: Batch, key):
         """Initialization entry creating ALL params (incl. the optional
         confidence head, which the training forward alone doesn't touch)."""
-        batch = _ensure_pair_masks(batch)
+        batch = prepare_batch(batch)
         out = self(batch, key)
         if self.with_confidence:
             a, ap, s, z = self.diffusion_conditioning(batch)
@@ -149,7 +156,7 @@ class PhysDock(nn.Module):
     def confidence(self, batch: Batch, s, z, x_pred):
         """PAE/PDE/pLDDT logits from conditioning + predicted coords
         (requires with_confidence=True)."""
-        return self.confidence_module(_ensure_pair_masks(batch), s, z, x_pred)
+        return self.confidence_module(prepare_batch(batch), s, z, x_pred)
 
     def distogram(self, z):
         p = self.linear_distogram(z).astype(jnp.float32)
@@ -174,7 +181,7 @@ class PhysDock(nn.Module):
     def __call__(
         self, batch: Batch, key, return_conditioning: bool = False
     ) -> Dict[str, jnp.ndarray]:
-        batch = _ensure_pair_masks(batch)
+        batch = prepare_batch(batch)
         a, ap, s, z = self.diffusion_conditioning(batch)
         x_hat, t_hat = self.augmentation_diffuse(batch, key)
         x_denoised = self.denoise(batch, x_hat, t_hat, a, ap, s, z)

@@ -169,3 +169,38 @@ def test_recycling_trunk(toy_config, tiny_batch):
     np.testing.assert_allclose(
         np.asarray(z2), np.asarray(z0), rtol=2e-4, atol=2e-4
     )
+
+
+def test_compact_transport_roundtrip(tiny_batch):
+    """Compact int8 transport re-expands to the exact fat features (modulo
+    uint8 quantization of deletion_value) — model outputs match."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from physdock_tpu.model.compact import compact_batch_np, expand_batch
+
+    compact = compact_batch_np(tiny_batch)
+    for k in ("msa_feat", "rel_tok_feat", "templ_feat", "ap_mask", "z_mask"):
+        assert k not in compact
+    fat = expand_batch({k: jnp.asarray(v) for k, v in compact.items()})
+    np.testing.assert_allclose(
+        np.asarray(fat["rel_tok_feat"]), tiny_batch["rel_tok_feat"], atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(fat["templ_feat"]), tiny_batch["templ_feat"], atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(fat["msa_feat"]), tiny_batch["msa_feat"], atol=1 / 254
+    )
+    # compact transport is dramatically smaller
+    fat_bytes = sum(
+        np.asarray(tiny_batch[k]).nbytes
+        for k in ("msa_feat", "rel_tok_feat", "templ_feat", "ap_mask", "z_mask")
+    )
+    c_bytes = sum(
+        np.asarray(v).nbytes
+        for k, v in compact.items()
+        if k.endswith("_c")
+    )
+    assert c_bytes < fat_bytes / 20
