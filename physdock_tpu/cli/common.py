@@ -57,7 +57,10 @@ def build_pipeline(args):
     cfg = PhysDockConfig.named(
         args.model_name,
         crop_size=args.crop_size,
-        atom_crop_size=args.atom_crop_size or (args.crop_size or 256) * 8,
+        # no flags at all -> no-crop blind docking (reference: crop_size
+        # None -> no crop, redocking.py:471); bucket ladder bounds shapes
+        atom_crop_size=args.atom_crop_size
+        or (args.crop_size * 8 if args.crop_size else None),
         bf16=args.bf16,
         infer_pocket_type=args.pocket_type,
         infer_pocket_cutoff=args.pocket_cutoff,

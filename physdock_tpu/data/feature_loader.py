@@ -955,9 +955,21 @@ from physdock_tpu.data.schema import FEATURE_SCHEMA as _FS  # noqa: E402
 _SCHEMA_KEYS = set(_FS.keys())
 
 
+# no-crop bucket ladder: bounds the number of distinct compiled shapes
+# across a heterogeneous system set (BASELINE config 5, blind docking)
+_BUCKET_LADDER = (
+    128, 256, 384, 512, 640, 768, 1024, 1280, 1536, 2048, 3072, 4096,
+    6144, 8192, 12288, 16384,
+)
+
+
 def _bucket(n: int, cap: Optional[int], step: int = 64) -> int:
-    b = ((n + step - 1) // step) * step
-    return min(b, cap) if cap else b
+    if cap:
+        return min(((n + step - 1) // step) * step, cap)
+    for b in _BUCKET_LADDER:
+        if n <= b:
+            return b
+    return ((n + 1023) // 1024) * 1024
 
 
 def make_msa_feat(msa, deletion_matrix, max_clusters, rng, num_rounds: int = 1):

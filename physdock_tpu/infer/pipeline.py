@@ -98,7 +98,7 @@ class DockingPipeline:
             params, batch, key, conditioning, guidance, factor, num_sample,
             use_bank,
         ):
-            return sample_diffusion(
+            x = sample_diffusion(
                 self.model,
                 params,
                 batch,
@@ -116,6 +116,14 @@ class DockingPipeline:
                 align_ref_pos=use_bank,
                 conditioning=conditioning,
             )
+            # chirality accept/reject fused into the same device program
+            # (saves one dispatch + transfer round-trip per round)
+            if guidance is not None and guidance.ff is not None:
+                lig = jnp.take(x, guidance.ligand_idx, axis=-2, mode="clip")
+                ok = chirality_correct(lig, guidance.ff)
+            else:
+                ok = jnp.ones((num_sample,), bool)
+            return x, ok
 
         self._jit_sample = fn
         return fn
@@ -249,24 +257,17 @@ class DockingPipeline:
                 use_bank = True
             else:
                 g, use_bank = guidance, False
-            x = np.asarray(
-                sample_fn(
-                    self.params,
-                    batch,
-                    k_round,
-                    conditioning,
-                    g,
-                    jnp.float32(protocol.factor if guided else s.eta),
-                    s.num_samples_per_round,
-                    use_bank,
-                )
+            x, ok = sample_fn(
+                self.params,
+                batch,
+                k_round,
+                conditioning,
+                g,
+                jnp.float32(protocol.factor if guided else s.eta),
+                s.num_samples_per_round,
+                use_bank,
             )
-            if guided and guidance.ff is not None and len(lig_idx):
-                ok = np.asarray(
-                    chirality_correct(jnp.asarray(x[:, lig_idx]), guidance.ff)
-                )
-            else:
-                ok = np.ones(len(x), bool)
+            x, ok = np.asarray(x), np.asarray(ok)
             if not guided:
                 break
             protocol.update(x, x[:, lig_idx], ok)
@@ -436,7 +437,7 @@ class DockingPipeline:
             use_bank,
         ):
             def one(batch, key, cond, g, factor):
-                return sample_diffusion(
+                x = sample_diffusion(
                     self.model,
                     params,
                     batch,
@@ -454,6 +455,12 @@ class DockingPipeline:
                     align_ref_pos=use_bank,
                     conditioning=cond,
                 )
+                if g is not None and g.ff is not None:
+                    lig = jnp.take(x, g.ligand_idx, axis=-2, mode="clip")
+                    ok = chirality_correct(lig, g.ff)
+                else:
+                    ok = jnp.ones((num_sample,), bool)
+                return x, ok
 
             return jax.vmap(one)(batches, keys, conds, guidances, factors)
 
@@ -628,31 +635,26 @@ class DockingPipeline:
                 use_bank = True
             else:
                 g_round, use_bank = g_stacked, False
-            x = np.asarray(
-                sample_fn(
-                    self.params,
-                    stacked,
-                    keys,
-                    conds,
-                    g_round,
-                    jnp.asarray(
-                        [p.factor for p in protocols]
-                        if guided
-                        else [s.eta] * B,
-                        jnp.float32,
-                    ),
-                    s.num_samples_per_round,
-                    use_bank,
-                )
-            )  # [B, S, A, 3]
+            x, ok = sample_fn(
+                self.params,
+                stacked,
+                keys,
+                conds,
+                g_round,
+                jnp.asarray(
+                    [p.factor for p in protocols]
+                    if guided
+                    else [s.eta] * B,
+                    jnp.float32,
+                ),
+                s.num_samples_per_round,
+                use_bank,
+            )
+            x, ok = np.asarray(x), np.asarray(ok)  # [B, S, A, 3], [B, S]
             if not guided:
                 break
             for b in range(B):
-                lig = x[b][:, lig_idxs[b]]
-                ok = np.asarray(
-                    chirality_correct(jnp.asarray(lig), ffs[b])
-                )
-                protocols[b].update(x[b], lig, ok)
+                protocols[b].update(x[b], x[b][:, lig_idxs[b]], ok[b])
             if all(p.done for p in protocols):
                 break
 
