@@ -66,6 +66,28 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
 @jax.custom_vjp
+def _folded_diff(q, k, v, bias):
+    from physdock_tpu.ops.flash_attention_folded import (
+        flash_sdpa_folded_from_split,
+    )
+
+    return flash_sdpa_folded_from_split(q, k, v, bias)
+
+
+def _folded_diff_fwd(q, k, v, bias):
+    return _folded_diff(q, k, v, bias), (q, k, v, bias)
+
+
+def _folded_diff_bwd(res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda a, b, c, d: sdpa_xla(a, b, c, d[None]), q, k, v, bias)
+    return vjp(g)
+
+
+_folded_diff.defvjp(_folded_diff_fwd, _folded_diff_bwd)
+
+
+@jax.custom_vjp
 def _grouped_diff(q, k, v, bias):
     from physdock_tpu.ops.flash_attention_grouped import flash_sdpa_grouped
 
@@ -100,14 +122,27 @@ def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
         if (impl == "flash" or _on_tpu()) and tileable:
             try:
                 b = bias if bias is not None else jnp.zeros((1, s_q, s_k), q.dtype)
-                # sample-grouped kernel when one [H,S,S] bias is shared by a
-                # leading sample batch: loads each bias tile once instead of
-                # once per sample (dominant HBM saving in the denoiser)
+                # shared [H,S,S] bias over a sample batch: prefer the
+                # head-folded kernel (k/v read once for ALL heads, no
+                # 32->128 lane padding; measured 3.75 ms vs grouped 4.61 ms
+                # vs XLA 11.6 ms at B=20,S=2048), else sample-grouped
                 if b.ndim == 3 and q.ndim == 4 and q.shape[0] > 1:
+                    from physdock_tpu.ops.flash_attention_folded import (
+                        pick_group_size_folded,
+                    )
                     from physdock_tpu.ops.flash_attention_grouped import (
                         pick_group_size,
                     )
 
+                    h = q.shape[1]
+                    if (
+                        h * d == 128
+                        and pick_group_size_folded(
+                            q.shape[0], s_k, h * d, q.dtype.itemsize
+                        )
+                        >= 1
+                    ):
+                        return _folded_diff(q, k, v, b)
                     if pick_group_size(q.shape[0], s_k, d, q.dtype.itemsize) > 1:
                         return _grouped_diff(q, k, v, b)
                 return _flash_diff(q, k, v, b)

@@ -1,21 +1,30 @@
-"""Head-folded flash attention (round-2 candidate kernel).
+"""Head-folded Pallas flash attention: q/k/v in [B, S, H*D] layout.
 
-HBM stores [..., S, 32]-wide per-head tensors tile-padded to 128 lanes —
-4x wasted q/k/v read bandwidth in the other kernels.  This variant keeps
-q/k/v in their natural projection layout [B, S, H*D] (H*D is 128 or 512
-here — no padding), slices per-head lanes INSIDE VMEM, and shares the
-[H, S, S] bias across the sample batch like the grouped kernel.
+Motivation (round-1 finding): with per-head layout [B, H, S, D] and D=32,
+every k/v tile pads 32 real lanes to 128 — 4x wasted HBM traffic — and the
+grid revisits k/v once per head.  Folding the heads into the lane axis
+(H*D = 128 for the model's head_dim=32, 4-head stacks) makes every byte
+read real AND loads k/v once for ALL heads.
 
-STATUS (round 1): passes interpreter-mode parity but Mosaic REJECTS the
-32-wide lane slices on real TPU ("cannot statically prove that index in
-dimension 2 is a multiple of 128" — lane slicing must be 128-aligned).
-Round-2 redesign: per-head logits via masked full-K matmuls
-(q_full @ (k_full * head_mask)^T), which also fills the MXU's K dimension.
-Not wired into the dispatcher.
+Mosaic cannot slice 32-lane sub-ranges (128-lane minimum granularity), so
+per-head attention uses MASKED FULL-WIDTH matmuls:
+
+    logits_h = q @ (k * lane_mask_h)^T       # contributions of other
+    acc_h   += p_h @ (v * lane_mask_h)       # heads' lanes are zeroed
+
+The MXU contracts all 128 lanes either way (it would for padded D=32
+too), so the masked matmuls cost the SAME MXU time as the per-head
+kernel while reading 4x less.  Each head's output lands in its own lane
+range, so the per-head accumulators sum into one folded [BQ, H*D] tile.
+
+The folded layout is also the NATIVE output of the qkv projections
+(Linear emits [.., S, H*D] before any head split), so callers can skip
+the split/transpose entirely.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -34,9 +43,9 @@ def _pick_bk(s_k: int) -> int:
     raise ValueError(f"s_k={s_k} must be a multiple of 128")
 
 
-def pick_group_size(n_batch: int, s_k: int, hd: int, itemsize: int = 2) -> int:
-    """Largest divisor of n_batch fitting VMEM with folded [*, S, H*D] blocks."""
-    bias_cost = 2 * BQ * s_k * itemsize
+def pick_group_size_folded(n_batch: int, s_k: int, hd: int, itemsize: int = 2) -> int:
+    """Largest divisor of n_batch whose folded buffers fit VMEM."""
+    bias_cost = 2 * BQ * s_k * itemsize  # per-head bias tile, double-buffered
 
     def cost(g):
         kv = 2 * 2 * g * s_k * hd * itemsize
@@ -51,49 +60,30 @@ def pick_group_size(n_batch: int, s_k: int, hd: int, itemsize: int = 2) -> int:
     return 0
 
 
-def flash_sdpa_folded(q, k, v, bias, num_heads: int, interpret: bool = False):
-    """q, k, v: [B, S, H*D] folded; bias: [H, S_q, S_k] shared across B.
+def _kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, s_k, bk, group, h, d):
+    BK = bk
+    hd = h * d
+    num_k = s_k // BK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1)
 
-    Returns [B, S_q, H*D] in q.dtype.
-
-    NOTE: the current grid is (sample_chunks, q_tiles) with the full [H,
-    BQ, S_k] bias block resident; per-head bias slicing happens inside.
-    """
-    n_batch, s_q, hd = q.shape
-    h = num_heads
-    d = hd // h
-    s_k = k.shape[-2]
-    assert bias.shape == (h, s_q, s_k)
-    group = pick_group_size(n_batch, s_k, hd, q.dtype.itemsize)
-    if group == 0:
-        raise ValueError("no group size fits VMEM")
-
-    # heads iterate FASTEST so the revisited q/out blocks stay resident and
-    # flush once per (chunk, q-tile) with every head's lanes written; k/v
-    # blocks (indexed by chunk only) are fetched once per chunk.
-    grid = (n_batch // group, s_q // BQ, h)
-    bk = _pick_bk(s_k)
-
-    def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
-        BK = bk
-        num_k = s_k // BK
-        hh = pl.program_id(2)
-
-        def per_sample(s, _):
-            q_t = q_ref[s, :, pl.ds(hh * d, d)].astype(jnp.float32)
+    def per_sample(s, _):
+        q = q_ref[s].astype(jnp.float32)  # [BQ, HD]
+        o = jnp.zeros((BQ, hd), jnp.float32)
+        for hh in range(h):  # static unroll; H is small (4)
+            mask = ((lane >= hh * d) & (lane < (hh + 1) * d)).astype(jnp.float32)
 
             def body(i, carry):
                 acc, m_prev, l_prev = carry
-                k_t = k_ref[s, pl.ds(i * BK, BK), pl.ds(hh * d, d)].astype(jnp.float32)
-                v_t = v_ref[s, pl.ds(i * BK, BK), pl.ds(hh * d, d)].astype(jnp.float32)
-                b_t = b_ref[0, :, pl.ds(i * BK, BK)].astype(jnp.float32)
+                k = k_ref[s, pl.ds(i * BK, BK), :].astype(jnp.float32) * mask
+                v = v_ref[s, pl.ds(i * BK, BK), :].astype(jnp.float32) * mask
+                b = b_ref[hh, :, pl.ds(i * BK, BK)].astype(jnp.float32)
                 logits = (
                     jax.lax.dot_general(
-                        q_t, k_t, (((1,), (1,)), ((), ())),
+                        q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    * (1.0 / math.sqrt(d))
-                    + b_t
+                    * scale
+                    + b
                 )
                 m_cur = jnp.max(logits, axis=-1, keepdims=True)
                 m_new = jnp.maximum(m_prev, m_cur)
@@ -101,43 +91,84 @@ def flash_sdpa_folded(q, k, v, bias, num_heads: int, interpret: bool = False):
                 corr = jnp.exp(m_prev - m_new)
                 l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
                 acc = acc * corr + jnp.dot(
-                    p, v_t, preferred_element_type=jnp.float32
+                    p, v, preferred_element_type=jnp.float32
                 )
                 return acc, m_new, l_new
 
-            acc0 = jnp.zeros((BQ, d), jnp.float32)
+            acc0 = jnp.zeros((BQ, hd), jnp.float32)
             m0 = jnp.full((BQ, 1), -jnp.inf, jnp.float32)
             l0 = jnp.zeros((BQ, 1), jnp.float32)
             acc, _, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
-            o_ref[s, :, pl.ds(hh * d, d)] = (acc / l).astype(o_ref.dtype)
-            return 0
+            # head hh's lanes are the only nonzero columns of acc
+            o = o + acc / l
+        o_ref[s] = o.astype(o_ref.dtype)
+        return 0
 
-        jax.lax.fori_loop(0, group, per_sample, 0)
+    jax.lax.fori_loop(0, group, per_sample, 0)
 
+
+def flash_sdpa_folded(
+    q, k, v, bias, n_heads: int, interpret: bool = False
+):
+    """q, k, v: [B, S, H*D] folded layout; bias: [H, S_q, S_k] shared
+    across B.  Returns [B, S_q, H*D] in q.dtype."""
+    n_batch, s_q, hd = q.shape
+    s_k = k.shape[-2]
+    h = n_heads
+    d = hd // h
+    assert h * d == hd
+    assert bias.shape == (h, s_q, s_k), (bias.shape, (h, s_q, s_k))
+    group = pick_group_size_folded(n_batch, s_k, hd, q.dtype.itemsize)
+    if group == 0:
+        raise ValueError("no group size fits VMEM")
+
+    grid = (n_batch // group, s_q // BQ)
+    bk = _pick_bk(s_k)
+    kernel = functools.partial(
+        _kernel, scale=1.0 / math.sqrt(d), s_k=s_k, bk=bk, group=group,
+        h=h, d=d,
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (group, BQ, hd), lambda g, i, hh: (g, i, 0),
+                (group, BQ, hd), lambda g, i: (g, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (group, s_k, hd), lambda g, i, hh: (g, 0, 0),
+                (group, s_k, hd), lambda g, i: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (group, s_k, hd), lambda g, i, hh: (g, 0, 0),
+                (group, s_k, hd), lambda g, i: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, BQ, s_k), lambda g, i, hh: (hh, i, 0),
+                (h, BQ, s_k), lambda g, i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (group, BQ, hd), lambda g, i, hh: (g, i, 0), memory_space=pltpu.VMEM
+            (group, BQ, hd), lambda g, i: (g, i, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n_batch, s_q, hd), q.dtype),
         interpret=interpret,
     )(q, k, v, bias)
+
+
+def flash_sdpa_folded_from_split(q, k, v, bias, interpret: bool = False):
+    """Drop-in wrapper for per-head [B, H, S, D] inputs: folds, runs the
+    folded kernel, unfolds.  (The fold transposes are one O(S*HD) pass —
+    far cheaper than the per-head kernel's repeated padded reads.)"""
+    n_batch, h, s_q, d = q.shape
+    s_k = k.shape[-2]
+
+    def fold(x, s):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(n_batch, s, h * d)
+
+    o = flash_sdpa_folded(
+        fold(q, s_q), fold(k, s_k), fold(v, s_k), bias, h, interpret=interpret
+    )
+    return jnp.transpose(o.reshape(n_batch, s_q, h, d), (0, 2, 1, 3))

@@ -1,42 +1,81 @@
-import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax, jax.numpy as jnp, numpy as np
-from physdock_tpu.ops.attention import sdpa_xla
-from physdock_tpu.ops.flash_attention import flash_sdpa
-from physdock_tpu.ops.flash_attention_grouped import flash_sdpa_grouped
-from physdock_tpu.ops.flash_attention_folded import flash_sdpa_folded
+"""On-chip check of the folded flash kernel (v3, masked full-width
+matmuls): Mosaic compilability, numerical parity vs XLA SDPA, and timing
+vs the grouped per-head kernel at the sampler's shape."""
 
-def log(m): print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
-def force(x): return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+import time
 
-B, H, S, D = 20, 4, 2048, 32
-ks = jax.random.split(jax.random.PRNGKey(0), 4)
-qh = jax.random.normal(ks[0], (B, H, S, D), jnp.bfloat16)
-kh = jax.random.normal(ks[1], (B, H, S, D), jnp.bfloat16)
-vh = jax.random.normal(ks[2], (B, H, S, D), jnp.bfloat16)
-bias = jax.random.normal(ks[3], (H, S, S), jnp.bfloat16)
-qf = jnp.swapaxes(qh, 1, 2).reshape(B, S, H * D)
-kf = jnp.swapaxes(kh, 1, 2).reshape(B, S, H * D)
-vf = jnp.swapaxes(vh, 1, 2).reshape(B, S, H * D)
+import numpy as np
 
-folded = jax.jit(lambda q, k, v, b: flash_sdpa_folded(q, k, v, b, num_heads=H))
-ref = jax.jit(sdpa_xla)(qh, kh, vh, bias)
-out = folded(qf, kf, vf, bias)
-out4 = jnp.swapaxes(out.reshape(B, S, H, D), 1, 2)
-err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - out4.astype(jnp.float32))))
-log(f"folded parity max err {err:.2e}")
-assert err < 5e-2
 
-# timing: folded consumes folded inputs (its real usage — projections emit folded)
-for name, fn, args in [
-    ("xla", jax.jit(sdpa_xla), (qh, kh, vh, bias)),
-    ("flash", jax.jit(flash_sdpa), (qh, kh, vh, bias)),
-    ("grouped", jax.jit(flash_sdpa_grouped), (qh, kh, vh, bias)),
-    ("folded", folded, (qf, kf, vf, bias)),
-]:
-    force(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        r = fn(*args)
-    force(r)
-    log(f"{name}: {(time.perf_counter()-t0)/10*1e3:.2f} ms (B={B},H={H},S={S})")
+def force(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from physdock_tpu.ops.attention import sdpa_xla
+    from physdock_tpu.ops.flash_attention_folded import (
+        flash_sdpa_folded,
+        flash_sdpa_folded_from_split,
+    )
+    from physdock_tpu.ops.flash_attention_grouped import flash_sdpa_grouped
+
+    B, H, S, D = 20, 4, 2048, 32
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+    q = jnp.asarray(rng.normal(0, 1, (B, H, S, D)), dt)
+    k = jnp.asarray(rng.normal(0, 1, (B, H, S, D)), dt)
+    v = jnp.asarray(rng.normal(0, 1, (B, H, S, D)), dt)
+    bias = jnp.asarray(rng.normal(0, 1, (H, S, S)), dt)
+
+    # parity (small slice in fp32 to bound tolerance)
+    qs, ks, vs = (x[:2, :, :256].astype(jnp.float32) for x in (q, k, v))
+    bs = bias[:, :256, :256].astype(jnp.float32)
+    ref = sdpa_xla(qs, ks, vs, bs[None])
+    got = jax.jit(flash_sdpa_folded_from_split)(qs, ks, vs, bs)
+    err = float(jnp.max(jnp.abs(ref - got)))
+    print(f"on-chip parity max abs err (fp32, S=256): {err:.2e}")
+    # TPU default-precision matmuls round inputs to bf16; two bf16
+    # implementations disagree at ~1e-3 (interpret-mode fp32 parity is 1e-6)
+    assert err < 2e-2, err
+
+    # folded-native timing (no transpose: q/k/v already [B, S, HD])
+    qf = jnp.asarray(rng.normal(0, 1, (B, S, H * D)), dt)
+    kf = jnp.asarray(rng.normal(0, 1, (B, S, H * D)), dt)
+    vf = jnp.asarray(rng.normal(0, 1, (B, S, H * D)), dt)
+
+    # chain R invocations inside ONE jit so per-call tunnel readback
+    # latency (~30 ms) amortizes away; data dependence serializes them
+    R = 20
+
+    def chain(fn):
+        def run(a, b, c, d_):
+            out = fn(a, b, c, d_)
+            for _ in range(R - 1):
+                a2 = (a + 0.001 * out).astype(a.dtype)
+                out = fn(a2, b, c, d_)
+            return out
+
+        return jax.jit(run)
+
+    f_folded = chain(lambda a, b, c, d_: flash_sdpa_folded(a, b, c, d_, H))
+    f_grouped = chain(flash_sdpa_grouped)
+    f_xla = chain(lambda a, b, c, d_: sdpa_xla(a, b, c, d_[None]))
+
+    def t(fn, *a):
+        force(fn(*a))
+        t0 = time.perf_counter()
+        force(fn(*a))
+        return (time.perf_counter() - t0) / R * 1e3
+
+    print(f"folded  (B={B},S={S}): {t(f_folded, qf, kf, vf, bias):.2f} ms/call")
+    print(f"grouped (B={B},S={S}): {t(f_grouped, q, k, v, bias):.2f} ms/call")
+    print(f"xla     (B={B},S={S}): {t(f_xla, q, k, v, bias):.2f} ms/call")
+
+
+if __name__ == "__main__":
+    main()

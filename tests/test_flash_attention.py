@@ -72,23 +72,45 @@ def test_grouped_flash_matches_xla_interpret():
 
 
 def test_folded_flash_matches_xla_interpret():
-    """Head-folded layout kernel ([B, S, H*D], per-head lane slicing)."""
-    from physdock_tpu.ops.flash_attention_folded import flash_sdpa_folded
+    """Head-folded v3 kernel ([B, S, H*D], masked full-width matmuls —
+    Mosaic-compilable, unlike the round-1 lane-sliced version)."""
+    from physdock_tpu.ops.flash_attention_folded import (
+        flash_sdpa_folded_from_split,
+    )
 
-    b, h, s, d = 4, 4, 128, 32
+    b, h, s, d = 4, 4, 256, 32
     ks = jax.random.split(jax.random.PRNGKey(3), 4)
     qh = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
     kh = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
     vh = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
     bias = jax.random.normal(ks[3], (h, s, s), jnp.float32)
     ref = sdpa_xla(qh, kh, vh, bias)
-
-    def fold(x):  # [B,H,S,D] -> [B,S,H*D]
-        return jnp.swapaxes(x, 1, 2).reshape(b, s, h * d)
-
-    out = flash_sdpa_folded(fold(qh), fold(kh), fold(vh), bias, num_heads=h,
-                            interpret=True)
-    out = jnp.swapaxes(out.reshape(b, s, h, d), 1, 2)
+    out = flash_sdpa_folded_from_split(qh, kh, vh, bias, interpret=True)
     assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-5), (
         np.abs(np.asarray(ref) - np.asarray(out)).max()
     )
+
+
+def test_folded_flash_gradients_flow():
+    """Dispatcher path: backward recomputes via XLA semantics."""
+    from physdock_tpu.ops.attention import _folded_diff
+
+    b, h, s, d = 2, 4, 256, 32
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    qh = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    kh = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    vh = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    bias = jax.random.normal(ks[3], (h, s, s), jnp.float32)
+
+    def loss_ref(q, k, v, bi):
+        return jnp.sum(sdpa_xla(q, k, v, bi[None]) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 3))(qh, kh, vh, bias)
+    # _folded_diff runs the Pallas kernel forward; on CPU that cannot
+    # compile, so check the VJP wiring shape-level via eval_shape
+    def loss_k(q, k, v, bi):
+        return jnp.sum(_folded_diff(q, k, v, bi) ** 2)
+
+    shapes = jax.eval_shape(jax.grad(loss_k, argnums=(0, 3)), qh, kh, vh, bias)
+    assert shapes[0].shape == qh.shape and shapes[1].shape == bias.shape
+    assert np.isfinite(np.asarray(g_ref[0])).all()
