@@ -67,6 +67,7 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 @jax.custom_vjp
 def _folded_diff(q, k, v, bias):
+    # primal (inference) path: fastest forward — head-folded kernel
     from physdock_tpu.ops.flash_attention_folded import (
         flash_sdpa_folded_from_split,
     )
@@ -75,13 +76,21 @@ def _folded_diff(q, k, v, bias):
 
 
 def _folded_diff_fwd(q, k, v, bias):
-    return _folded_diff(q, k, v, bias), (q, k, v, bias)
+    # under differentiation: forward that also emits lse, enabling the
+    # fully-fused Pallas backward (no [B,H,S,S] probs in HBM — the XLA
+    # recompute backward materialized them twice)
+    from physdock_tpu.ops.flash_attention_bwd import flash_fwd_lse
+
+    o, lse = flash_fwd_lse(q, k, v, bias)
+    return o, (q, k, v, bias, o, lse)
 
 
 def _folded_diff_bwd(res, g):
-    q, k, v, bias = res
-    _, vjp = jax.vjp(lambda a, b, c, d: sdpa_xla(a, b, c, d[None]), q, k, v, bias)
-    return vjp(g)
+    from physdock_tpu.ops.flash_attention_bwd import flash_bwd
+
+    q, k, v, bias, o, lse = res
+    dq, dk, dv, db = flash_bwd(q, k, v, bias, o, lse, g.astype(q.dtype))
+    return dq, dk, dv, db.astype(bias.dtype)
 
 
 _folded_diff.defvjp(_folded_diff_fwd, _folded_diff_bwd)

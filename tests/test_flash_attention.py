@@ -114,3 +114,28 @@ def test_folded_flash_gradients_flow():
     shapes = jax.eval_shape(jax.grad(loss_k, argnums=(0, 3)), qh, kh, vh, bias)
     assert shapes[0].shape == qh.shape and shapes[1].shape == bias.shape
     assert np.isfinite(np.asarray(g_ref[0])).all()
+
+
+def test_pallas_backward_matches_vjp_interpret():
+    """Fused Pallas backward (dq/dk/dv/dbias, batch-reduced bias grad)
+    against jax.vjp of the XLA reference, interpret mode."""
+    from physdock_tpu.ops.flash_attention_bwd import flash_bwd, flash_fwd_lse
+
+    b, h, s, d = 3, 2, 256, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    bias = jax.random.normal(ks[3], (h, s, s), jnp.float32)
+    do = jax.random.normal(ks[4], (b, h, s, d), jnp.float32)
+
+    o, lse = flash_fwd_lse(q, k, v, bias, interpret=True)
+    ref = sdpa_xla(q, k, v, bias[None])
+    assert np.abs(np.asarray(o - ref)).max() < 2e-5
+
+    dq, dk, dv, db = flash_bwd(q, k, v, bias, o, lse, do, interpret=True)
+    _, vjp = jax.vjp(lambda a, b_, c, d_: sdpa_xla(a, b_, c, d_[None]), q, k, v, bias)
+    rq, rk, rv, rb = vjp(do)
+    for name, a, r in [("dq", dq, rq), ("dk", dk, rk), ("dv", dv, rv), ("dbias", db, rb)]:
+        err = np.abs(np.asarray(a) - np.asarray(r)).max()
+        assert err < 5e-4, (name, err)
