@@ -151,9 +151,13 @@ class TriangleUpdate(nn.Module):
 
     @nn.compact
     def __call__(self, z, z_mask):
-        if self.transpose:
-            z = jnp.swapaxes(z, -2, -3)
-            z_mask = jnp.swapaxes(z_mask, -1, -2)
+        # The incoming (transpose=True) variant is algebraically the outgoing
+        # one applied to z^T.  Every stage except the contraction is
+        # position-wise and therefore commutes with the (i, j) swap, so
+        # instead of materializing z^T on entry and o^T on exit (two full
+        # [S, S, c_z] HBM copies per call at crop 256) the swap is folded
+        # into the einsum index order below; XLA handles the layout inside
+        # the batched matmul on the much smaller [S, S, 32] projections.
         c_z = z.shape[-1]
         z = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_in")(z)
         mask = z_mask[..., None].astype(z.dtype)
@@ -168,11 +172,13 @@ class TriangleUpdate(nn.Module):
             * mask
         )
         g = jax.nn.sigmoid(Linear(c_z, init="gating", dtype=self.dtype, name="linear_g")(z))
-        prod = jnp.einsum("...ijc,...kjc->...ikc", q, k)
+        if self.transpose:
+            # out[i,k,c] = sum_j k[j,i,c] * q[j,k,c]  (== swap-in/swap-out)
+            prod = jnp.einsum("...jic,...jkc->...ikc", k, q)
+        else:
+            prod = jnp.einsum("...ijc,...kjc->...ikc", q, k)
         prod = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_out")(prod)
         o = Linear(c_z, init="final", dtype=self.dtype, name="linear_z")(prod) * g
-        if self.transpose:
-            o = jnp.swapaxes(o, -2, -3)
         return o.astype(jnp.float32)
 
 

@@ -36,6 +36,19 @@ from physdock_tpu.nn.primitives import (
 Dtype = Any
 
 
+def _res(x, delta):
+    """Residual add in the carry's dtype.
+
+    Sub-modules return fp32 (mirroring the reference's `.float()` casts) but
+    the residual STREAMS are carried in the compute dtype: at bf16 on TPU
+    this halves the HBM traffic of every read-modify-write of the [S, S,
+    c_z] pair / [N_msa, S, c_m] MSA / [B, A, c_a] diffusion streams, which
+    is where an HBM-bound trunk spends its time.  With fp32 compute (CPU
+    parity tests) the cast is the identity.
+    """
+    return x + delta.astype(x.dtype)
+
+
 def _scan_stack(block_cls, length: int, remat: bool = True, **block_kw):
     """Stack `length` copies of a carry->carry block as a lax.scan."""
     cls = nn.remat(block_cls, prevent_cse=False) if remat else block_cls
@@ -65,11 +78,11 @@ class AtomBlock(nn.Module):
 
     @nn.compact
     def __call__(self, a, ap, ap_mask):
-        a = a + AttentionWithPairBias(
+        a = _res(a, AttentionWithPairBias(
             inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl,
             name="attention",
-        )(a, ap, ap_mask)
-        a = a + Transition(eps=self.eps, dtype=self.dtype, name="transition")(a)
+        )(a, ap, ap_mask))
+        a = _res(a, Transition(eps=self.eps, dtype=self.dtype, name="transition")(a))
         return a, None
 
 
@@ -91,7 +104,7 @@ class AtomTransformer(nn.Module):
             attn_impl=self.attn_impl,
             name="blocks",
         )
-        a, _ = stack(a.astype(jnp.float32), ap, ap_mask)
+        a, _ = stack(a.astype(self.dtype), ap, ap_mask)
         return a
 
 
@@ -109,12 +122,12 @@ class TriangleBlock(nn.Module):
     @nn.compact
     def __call__(self, z, z_mask, pad_mask=None):
         kw = dict(eps=self.eps, dtype=self.dtype)
-        z = z + TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask)
-        z = z + TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask)
+        z = _res(z, TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask))
+        z = _res(z, TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask))
         akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
-        z = z + TriangleAttention(name="triangle_row_attention", **akw)(z, z_mask, pad_mask)
-        z = z + TriangleAttention(transpose=True, name="triangle_col_attention", **akw)(z, z_mask, pad_mask)
-        z = z + Transition(eps=self.eps, dtype=self.dtype, name="pair_transition")(z)
+        z = _res(z, TriangleAttention(name="triangle_row_attention", **akw)(z, z_mask, pad_mask))
+        z = _res(z, TriangleAttention(transpose=True, name="triangle_col_attention", **akw)(z, z_mask, pad_mask))
+        z = _res(z, Transition(eps=self.eps, dtype=self.dtype, name="pair_transition")(z))
         return z, None
 
 
@@ -136,7 +149,7 @@ class Triangleformer(nn.Module):
             attn_impl=self.attn_impl,
             name="blocks",
         )
-        z, _ = stack(z.astype(jnp.float32), z_mask, pad_mask)
+        z, _ = stack(z.astype(self.dtype), z_mask, pad_mask)
         return z
 
 
@@ -160,15 +173,15 @@ class EvoformerBlock(nn.Module):
         m, z = carry
         akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
         kw = dict(eps=self.eps, dtype=self.dtype)
-        m = m + MSARowAttentionWithPairBias(name="msa_row_attention", **akw)(m, z, z_mask)
-        m = m + MSAColumnAttention(name="msa_col_attention", **akw)(m)
-        m = m + Transition(name="msa_transition", **kw)(m)
-        z = z + OuterProductMean(c_z=self.c_z, name="opm", **kw)(m)
-        z = z + TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask)
-        z = z + TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask)
-        z = z + TriangleAttention(name="triangle_row_attention", **akw)(z, z_mask)
-        z = z + TriangleAttention(transpose=True, name="triangle_col_attention", **akw)(z, z_mask)
-        z = z + Transition(name="pair_transition", **kw)(z)
+        m = _res(m, MSARowAttentionWithPairBias(name="msa_row_attention", **akw)(m, z, z_mask))
+        m = _res(m, MSAColumnAttention(name="msa_col_attention", **akw)(m))
+        m = _res(m, Transition(name="msa_transition", **kw)(m))
+        z = _res(z, OuterProductMean(c_z=self.c_z, name="opm", **kw)(m))
+        z = _res(z, TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask))
+        z = _res(z, TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask))
+        z = _res(z, TriangleAttention(name="triangle_row_attention", **akw)(z, z_mask))
+        z = _res(z, TriangleAttention(transpose=True, name="triangle_col_attention", **akw)(z, z_mask))
+        z = _res(z, Transition(name="pair_transition", **kw)(z))
         return (m, z), None
 
 
@@ -192,7 +205,7 @@ class Evoformer(nn.Module):
             attn_impl=self.attn_impl,
             name="blocks",
         )
-        (m, z), _ = stack((m.astype(jnp.float32), z.astype(jnp.float32)), z_mask)
+        (m, z), _ = stack((m.astype(self.dtype), z.astype(self.dtype)), z_mask)
         return m, z
 
 
@@ -212,13 +225,13 @@ class PairFormerBlock(nn.Module):
         s, z = carry
         akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
         kw = dict(eps=self.eps, dtype=self.dtype)
-        z = z + TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask)
-        z = z + TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask)
-        z = z + TriangleAttention(name="triangle_row_attention", **akw)(z, z_mask)
-        z = z + TriangleAttention(transpose=True, name="triangle_col_attention", **akw)(z, z_mask)
-        z = z + Transition(name="pair_transition", **kw)(z)
-        s = s + AttentionWithPairBias(name="attention", **akw)(s, z, z_mask)
-        s = s + Transition(name="transition", **kw)(s)
+        z = _res(z, TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask))
+        z = _res(z, TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask))
+        z = _res(z, TriangleAttention(name="triangle_row_attention", **akw)(z, z_mask))
+        z = _res(z, TriangleAttention(transpose=True, name="triangle_col_attention", **akw)(z, z_mask))
+        z = _res(z, Transition(name="pair_transition", **kw)(z))
+        s = _res(s, AttentionWithPairBias(name="attention", **akw)(s, z, z_mask))
+        s = _res(s, Transition(name="transition", **kw)(s))
         return (s, z), None
 
 
@@ -240,7 +253,7 @@ class Pairformer(nn.Module):
             attn_impl=self.attn_impl,
             name="blocks",
         )
-        (s, z), _ = stack((s.astype(jnp.float32), z.astype(jnp.float32)), z_mask)
+        (s, z), _ = stack((s.astype(self.dtype), z.astype(self.dtype)), z_mask)
         return s, z
 
 
@@ -273,8 +286,8 @@ class DiTBlock(nn.Module):
         self.transition = DiTTransition(eps=self.eps, dtype=self.dtype)
 
     def __call__(self, bs, t, beta, bias):
-        bs = bs + self.attention(bs, None, t, None, beta, cached_bias=bias)
-        bs = bs + self.transition(bs, t)
+        bs = _res(bs, self.attention(bs, None, t, None, beta, cached_bias=bias))
+        bs = _res(bs, self.transition(bs, t))
         return bs, None
 
     def bias_only(self, carry, z, z_mask):
@@ -324,7 +337,7 @@ class DiT(nn.Module):
     def __call__(self, bs, z, t, z_mask, beta=None, cached_bias=None):
         if cached_bias is None:
             cached_bias = self.compute_bias(z, z_mask)
-        bs, _ = self.blocks(bs.astype(jnp.float32), t, beta, cached_bias)
+        bs, _ = self.blocks(bs.astype(self.dtype), t, beta, cached_bias)
         return bs
 
 

@@ -147,6 +147,13 @@ def test_mini_rollout_confidence_training(toy_config):
     the trained head outputs."""
     import dataclasses
 
+    # This is the biggest compile in the suite (trunk + rollout scan +
+    # confidence + backward) and runs last; with ~100 tests' worth of
+    # executables in the XLA CPU compile cache the backend segfaults inside
+    # backend_compile_and_load (reproducible full-suite, passes isolated).
+    # Flushing the caches first keeps the compiler healthy.
+    jax.clear_caches()
+
     from physdock_tpu.data.synthetic import make_synthetic_batch
     from physdock_tpu.infer.metrics import get_metrics
     from physdock_tpu.model.diffusion import sample_diffusion
