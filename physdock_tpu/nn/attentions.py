@@ -22,7 +22,9 @@ from physdock_tpu.nn.primitives import (
     AdaLayerNormZero,
     LayerNorm,
     Linear,
+    LinearParams,
     RMSNorm,
+    fused_linear,
 )
 from physdock_tpu.ops.attention import dot_product_attention
 from physdock_tpu.utils.geometry import gen_attn_mask
@@ -62,10 +64,18 @@ class AttentionWithPairBias(nn.Module):
         s_norm = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_s")(s)
         z_norm = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_z")(z)
 
-        q = _split_heads(Linear(c_s, use_bias=False, dtype=self.dtype, name="linear_q")(s_norm), h)
-        k = _split_heads(Linear(c_s, use_bias=False, dtype=self.dtype, name="linear_k")(s_norm), h)
-        v = _split_heads(Linear(c_s, use_bias=False, dtype=self.dtype, name="linear_v")(s_norm), h)
-        g = Linear(c_s, dtype=self.dtype, name="linear_g")(s_norm)
+        # q/k/v/g share s_norm: one fused matmul (one read of s_norm)
+        q, k, v, g = fused_linear(
+            s_norm,
+            [
+                LinearParams(c_s, use_bias=False, name="linear_q")(c_s),
+                LinearParams(c_s, use_bias=False, name="linear_k")(c_s),
+                LinearParams(c_s, use_bias=False, name="linear_v")(c_s),
+                LinearParams(c_s, name="linear_g")(c_s),
+            ],
+            self.dtype,
+        )
+        q, k, v = _split_heads(q, h), _split_heads(k, h), _split_heads(v, h)
 
         bias = jnp.moveaxis(
             Linear(h, use_bias=False, dtype=self.dtype, name="linear_z")(z_norm), -1, -3
@@ -95,15 +105,23 @@ class MSARowAttentionWithPairBias(nn.Module):
         m_norm = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_m")(m)
         z_norm = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_z")(z)
 
-        q = _split_heads(Linear(c_m, use_bias=False, dtype=self.dtype, name="linear_q")(m_norm), h)
-        k = _split_heads(Linear(c_m, use_bias=False, dtype=self.dtype, name="linear_k")(m_norm), h)
-        v = _split_heads(Linear(c_m, use_bias=False, dtype=self.dtype, name="linear_v")(m_norm), h)
-        g = Linear(c_m, dtype=self.dtype, name="linear_g")(m_norm)
+        q, k, v, g = fused_linear(
+            m_norm,
+            [
+                LinearParams(c_m, use_bias=False, name="linear_q")(c_m),
+                LinearParams(c_m, use_bias=False, name="linear_k")(c_m),
+                LinearParams(c_m, use_bias=False, name="linear_v")(c_m),
+                LinearParams(c_m, name="linear_g")(c_m),
+            ],
+            self.dtype,
+        )
+        q, k, v = _split_heads(q, h), _split_heads(k, h), _split_heads(v, h)
 
+        # 3-D [h, S, S] bias shared by all MSA rows -> grouped-kernel path
         bias = jnp.moveaxis(
             Linear(h, use_bias=False, dtype=self.dtype, name="linear_z")(z_norm), -1, -3
-        )[None]
-        bias = bias + gen_attn_mask(z_mask.astype(jnp.float32), -self.inf)[None, None]
+        )
+        bias = bias + gen_attn_mask(z_mask.astype(jnp.float32), -self.inf)[..., None, :, :]
 
         o = _merge_heads(dot_product_attention(q, k, v, bias, impl=self.attn_impl))
         o = Linear(c_m, dtype=self.dtype, name="linear_o")(o) * g
@@ -125,10 +143,17 @@ class MSAColumnAttention(nn.Module):
         h = c_m // C_HIDDEN
         m_norm = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_m")(m)
 
-        q = _split_heads(Linear(c_m, use_bias=False, dtype=self.dtype, name="linear_q")(m_norm), h)
-        k = _split_heads(Linear(c_m, use_bias=False, dtype=self.dtype, name="linear_k")(m_norm), h)
-        v = _split_heads(Linear(c_m, use_bias=False, dtype=self.dtype, name="linear_v")(m_norm), h)
-        g = Linear(c_m, dtype=self.dtype, name="linear_g")(m_norm)
+        q, k, v, g = fused_linear(
+            m_norm,
+            [
+                LinearParams(c_m, use_bias=False, name="linear_q")(c_m),
+                LinearParams(c_m, use_bias=False, name="linear_k")(c_m),
+                LinearParams(c_m, use_bias=False, name="linear_v")(c_m),
+                LinearParams(c_m, name="linear_g")(c_m),
+            ],
+            self.dtype,
+        )
+        q, k, v = _split_heads(q, h), _split_heads(k, h), _split_heads(v, h)
 
         o = _merge_heads(dot_product_attention(q, k, v, None, impl=self.attn_impl))
         o = Linear(c_m, dtype=self.dtype, name="linear_o")(o) * g
@@ -161,17 +186,21 @@ class TriangleUpdate(nn.Module):
         c_z = z.shape[-1]
         z = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_in")(z)
         mask = z_mask[..., None].astype(z.dtype)
-        q = (
-            Linear(C_HIDDEN, dtype=self.dtype, name="linear_qx")(z)
-            * jax.nn.sigmoid(Linear(C_HIDDEN, dtype=self.dtype, name="linear_q")(z))
-            * mask
+        # all five projections share z_norm: one fused matmul
+        qx, qs, kx, ks, gl = fused_linear(
+            z,
+            [
+                LinearParams(C_HIDDEN, name="linear_qx")(c_z),
+                LinearParams(C_HIDDEN, name="linear_q")(c_z),
+                LinearParams(C_HIDDEN, name="linear_kx")(c_z),
+                LinearParams(C_HIDDEN, name="linear_k")(c_z),
+                LinearParams(c_z, init="gating", name="linear_g")(c_z),
+            ],
+            self.dtype,
         )
-        k = (
-            Linear(C_HIDDEN, dtype=self.dtype, name="linear_kx")(z)
-            * jax.nn.sigmoid(Linear(C_HIDDEN, dtype=self.dtype, name="linear_k")(z))
-            * mask
-        )
-        g = jax.nn.sigmoid(Linear(c_z, init="gating", dtype=self.dtype, name="linear_g")(z))
+        q = qx * jax.nn.sigmoid(qs) * mask
+        k = kx * jax.nn.sigmoid(ks) * mask
+        g = jax.nn.sigmoid(gl)
         if self.transpose:
             # out[i,k,c] = sum_j k[j,i,c] * q[j,k,c]  (== swap-in/swap-out)
             prod = jnp.einsum("...jic,...jkc->...ikc", k, q)
@@ -213,19 +242,29 @@ class TriangleAttention(nn.Module):
         h = c_z // C_HIDDEN
         z_norm = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm")(z)
 
-        q = _split_heads(Linear(c_z, use_bias=False, dtype=self.dtype, name="linear_q")(z_norm), h)
-        k = _split_heads(Linear(c_z, use_bias=False, dtype=self.dtype, name="linear_k")(z_norm), h)
-        v = _split_heads(Linear(c_z, use_bias=False, dtype=self.dtype, name="linear_v")(z_norm), h)
-        g = Linear(c_z, dtype=self.dtype, name="linear_g")(z_norm)
+        # q/k/v/g/bias all share z_norm: one fused matmul over the pair rep
+        q, k, v, g, bias_raw = fused_linear(
+            z_norm,
+            [
+                LinearParams(c_z, use_bias=False, name="linear_q")(c_z),
+                LinearParams(c_z, use_bias=False, name="linear_k")(c_z),
+                LinearParams(c_z, use_bias=False, name="linear_v")(c_z),
+                LinearParams(c_z, name="linear_g")(c_z),
+                LinearParams(h, use_bias=False, name="linear_z")(c_z),
+            ],
+            self.dtype,
+        )
+        q, k, v = _split_heads(q, h), _split_heads(k, h), _split_heads(v, h)
 
-        bias = jnp.moveaxis(
-            Linear(h, use_bias=False, dtype=self.dtype, name="linear_z")(z_norm), -1, -3
-        )[None]
-        bias = bias + gen_attn_mask(z_mask.astype(jnp.float32), -self.inf)[None, None]
+        # bias stays 3-D [h, S, S] (no broadcast batch dim): the dispatcher
+        # then selects the sample-grouped/head-folded kernels, which load
+        # the row-shared bias ONCE per group instead of once per row
+        bias = jnp.moveaxis(bias_raw, -1, -3)
+        bias = bias + gen_attn_mask(z_mask.astype(jnp.float32), -self.inf)[..., None, :, :]
         if pad_mask is not None:
             bias = bias + gen_attn_mask(
                 pad_mask.astype(jnp.float32), -2.0 * self.inf
-            )[None, None]
+            )[..., None, :, :]
 
         o = _merge_heads(dot_product_attention(q, k, v, bias, impl=self.attn_impl))
         o = Linear(c_z, dtype=self.dtype, name="linear_o")(o) * g
@@ -258,9 +297,9 @@ class DiTAttention(nn.Module):
         h = self.c_s // C_HIDDEN
         self.norm_s = AdaLayerNormZero(eps=self.eps, dtype=self.dtype)
         self.norm_z = LayerNorm(dtype=self.dtype)
-        self.linear_q = Linear(self.c_s, use_bias=False, dtype=self.dtype)
-        self.linear_k = Linear(self.c_s, use_bias=False, dtype=self.dtype)
-        self.linear_v = Linear(self.c_s, use_bias=False, dtype=self.dtype)
+        self.linear_q = LinearParams(self.c_s, use_bias=False)
+        self.linear_k = LinearParams(self.c_s, use_bias=False)
+        self.linear_v = LinearParams(self.c_s, use_bias=False)
         self.linear_z = Linear(h, use_bias=False, dtype=self.dtype)
         self.norm_q = RMSNorm(eps=self.eps, dtype=self.dtype)
         self.norm_k = RMSNorm(eps=self.eps, dtype=self.dtype)
@@ -282,9 +321,19 @@ class DiTAttention(nn.Module):
         h = self.c_s // C_HIDDEN
         bs_norm, gate = self.norm_s(bs, t)
 
-        q = self.norm_q(_split_heads(self.linear_q(bs_norm), h))
-        k = self.norm_k(_split_heads(self.linear_k(bs_norm), h))
-        v = _split_heads(self.linear_v(bs_norm), h)
+        # q/k/v share bs_norm: one fused matmul per block-step
+        qf, kf, vf = fused_linear(
+            bs_norm,
+            [
+                self.linear_q(self.c_s),
+                self.linear_k(self.c_s),
+                self.linear_v(self.c_s),
+            ],
+            self.dtype,
+        )
+        q = self.norm_q(_split_heads(qf, h))
+        k = self.norm_k(_split_heads(kf, h))
+        v = _split_heads(vf, h)
 
         bias = cached_bias if cached_bias is not None else self.compute_bias(z, z_mask)
         if beta is not None:
