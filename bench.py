@@ -56,13 +56,21 @@ def main():
         infer_use_key_res=True,
         num_augmentation_sample=2,
     )
-    featurizer = SystemFeaturizer(
-        cfg.data,
+    fz_kwargs = dict(
         msa_features_dir=f"{DEMO_MSA}/msa_features",
         uniprot_msa_features_dir=f"{DEMO_MSA}/uniprot_msa_features",
         inference_mode=True,
         seed=0,
     )
+    if on_tpu:
+        # featurize in a clean worker subprocess: the PJRT client's relay
+        # threads multiply host numpy wall time 5-20x in this process
+        # (measured; see data/feat_worker.py)
+        from physdock_tpu.data.feat_worker import FeaturizerWorker
+
+        featurizer = FeaturizerWorker(cfg.data, **fz_kwargs)
+    else:
+        featurizer = SystemFeaturizer(cfg.data, **fz_kwargs)
     params = load_params(None, cfg)
     # exactly 2 rounds every run: round 0 (FF-only) + round 1 (banked);
     # max_samples > nspr so the protocol never breaks early

@@ -71,8 +71,7 @@ def build_pipeline(args):
     )
     from physdock_tpu.data.ccd import CCDLibrary
 
-    featurizer = SystemFeaturizer(
-        cfg.data,
+    fz_kwargs = dict(
         ccd=CCDLibrary(args.ccd_blob) if args.ccd_blob else None,
         msa_features_dir=args.msa_features_dir,
         uniprot_msa_features_dir=args.uniprot_msa_features_dir,
@@ -80,6 +79,17 @@ def build_pipeline(args):
         seed=args.seed,
         use_x_gt_ligand_as_ref_pos=args.ebable_x_gt_ligand_as_ref_pos,
     )
+    import jax
+
+    if jax.devices()[0].platform != "cpu":
+        # device-owning process: featurize in a clean worker subprocess
+        # (data/feat_worker.py — PJRT client threads otherwise multiply
+        # host featurization wall time)
+        from physdock_tpu.data.feat_worker import FeaturizerWorker
+
+        featurizer = FeaturizerWorker(cfg.data, **fz_kwargs)
+    else:
+        featurizer = SystemFeaturizer(cfg.data, **fz_kwargs)
     params = load_params(args.params, cfg)
     settings = SamplerSettings(
         max_samples=args.max_samples,

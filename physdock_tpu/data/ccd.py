@@ -22,6 +22,7 @@ Entry schema (dict per CCD):
 from __future__ import annotations
 
 import functools
+import hashlib
 from typing import Dict, Optional
 
 import numpy as np
@@ -47,7 +48,13 @@ def standard_residue_entry(ccd: str) -> Dict:
     from physdock_tpu.data.embed import embed_molecule
 
     mol = residue_molecule(ccd)
-    rng = np.random.default_rng(abs(hash(ccd)) % (2**31))
+    # stable per-residue seed: python's str hash() is PYTHONHASHSEED-
+    # randomized, which made the embedded ideal geometry (and thus
+    # ref_pos/ref_feat of every protein atom) differ between processes —
+    # breaking run-to-run reproducibility and the featurizer-worker
+    # equality contract (tests/test_feat_worker.py)
+    seed = int.from_bytes(hashlib.md5(ccd.encode()).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
     mol.coords = embed_molecule(mol, rng, n_starts=3, iters=500)
     feats = conformer_features(mol)
     feats["ref_atom_name_chars"] = list(rc.AA_ATOMS[ccd])

@@ -1,0 +1,164 @@
+"""Host featurization worker: SystemFeaturizer in a clean subprocess.
+
+Why a subprocess (two independent reasons):
+  * On multi-core hosts this is the dataloader-worker pattern of the
+    reference's training harness (Uni-Core workers; SURVEY 2.5 "host
+    embarrassing parallel"): featurization runs off the device-owning
+    process and can overlap device compute.
+  * Under the tunneled single-core TPU environment it is a functional
+    necessity: the PJRT client registered by the TPU sitecustomize runs
+    relay/claim threads for the life of the process and multiplies the
+    wall time of ANY host numpy work by 5-20x (measured:
+    scripts/tpu_client_cpu_probe.py — identical numpy burst 0.8 s in a
+    clean process, 4.4 s in the client process before jax is even
+    touched; warm featurizer loads 0.6 s clean vs 8-30 s in-client).
+    The worker strips the sitecustomize path so featurization runs at
+    clean-process speed.
+
+Protocol: length-prefixed pickles over stdin/stdout.  Requests:
+  ("init", data_cfg, featurizer_kwargs)          -> "ready"
+  ("load", system, load_kwargs, num_confs|None, conf_seed)
+      -> ("ok", (feats, meta, confs|None)) | ("err", traceback_str)
+  ("stop",)                                      -> process exits
+
+Conformer generation (the other CPU-heavy stage of the guided dock) runs
+in the worker for the same reason, keyed off the loaded ref_mol.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import struct
+import subprocess
+import sys
+import traceback
+from typing import Optional
+
+
+def _send(f, obj) -> None:
+    data = pickle.dumps(obj, protocol=4)
+    f.write(struct.pack("<Q", len(data)))
+    f.write(data)
+    f.flush()
+
+
+def _recv(f):
+    hdr = f.read(8)
+    if len(hdr) < 8:
+        raise EOFError("featurizer worker pipe closed")
+    (n,) = struct.unpack("<Q", hdr)
+    buf = f.read(n)
+    if len(buf) < n:
+        raise EOFError("featurizer worker pipe truncated")
+    return pickle.loads(buf)
+
+
+class FeaturizerWorker:
+    """Proxy for SystemFeaturizer.load (+ conformer bank) in a clean
+    subprocess.  Mirrors the featurizer's constructor surface; `load`
+    returns (feats, meta) like the inline featurizer, with the optional
+    conformer bank precomputed when `num_confs` is given."""
+
+    def __init__(self, data_cfg, **featurizer_kwargs):
+        env = dict(os.environ)
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        paths = [
+            p
+            for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p
+        ]
+        env["PYTHONPATH"] = os.pathsep.join([pkg_root] + paths)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "physdock_tpu.data.feat_worker"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            env=env,
+        )
+        self._alive = True
+        _send(self.proc.stdin, ("init", data_cfg, featurizer_kwargs))
+        ready = _recv(self.proc.stdout)
+        assert ready == "ready", ready
+        # mirrored for pipeline attribute checks
+        self.use_x_gt_ligand_as_ref_pos = bool(
+            featurizer_kwargs.get("use_x_gt_ligand_as_ref_pos", False)
+        )
+
+    def load(
+        self,
+        system,
+        num_confs: Optional[int] = None,
+        conf_seed: int = 0,
+        **kw,
+    ):
+        _send(self.proc.stdin, ("load", system, kw, num_confs, conf_seed))
+        status, payload = _recv(self.proc.stdout)
+        if status != "ok":
+            raise RuntimeError(f"featurizer worker failed:\n{payload}")
+        return payload  # (feats, meta, confs | None)
+
+    def stop(self) -> None:
+        if self._alive:
+            self._alive = False
+            try:
+                _send(self.proc.stdin, ("stop",))
+                self.proc.wait(timeout=10)
+            except Exception:
+                self.proc.kill()
+
+    def __del__(self):  # pragma: no cover - best effort
+        try:
+            self.stop()
+        except Exception:
+            pass
+
+
+def _serve() -> None:
+    from physdock_tpu.data.feature_loader import SystemFeaturizer
+
+    inp = sys.stdin.buffer
+    out = sys.stdout.buffer
+    # anything the featurizer prints must not corrupt the pickle stream
+    sys.stdout = sys.stderr
+
+    fz = None
+    while True:
+        try:
+            msg = _recv(inp)
+        except EOFError:
+            return
+        if msg[0] == "stop":
+            return
+        if msg[0] == "init":
+            _, data_cfg, kwargs = msg
+            fz = SystemFeaturizer(data_cfg, **kwargs)
+            _send(out, "ready")
+            continue
+        if msg[0] == "load":
+            _, system, kw, num_confs, conf_seed = msg
+            try:
+                feats, meta = fz.load(system, **kw)
+                confs = None
+                mol = meta.get("ref_mol")
+                if num_confs and mol is not None:
+                    import numpy as np
+
+                    from physdock_tpu.data.embed import generate_conformers
+
+                    confs = generate_conformers(
+                        mol,
+                        num_confs=num_confs,
+                        base_coords=mol.coords,
+                        rng=np.random.default_rng(conf_seed),
+                    )
+                _send(out, ("ok", (feats, meta, confs)))
+            except Exception:
+                _send(out, ("err", traceback.format_exc()))
+
+
+if __name__ == "__main__":
+    _serve()

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from physdock_tpu.config import PhysDockConfig
+from physdock_tpu.data.feat_worker import FeaturizerWorker
 from physdock_tpu.data.feature_loader import SystemFeaturizer
 from physdock_tpu.data.embed import generate_conformers
 from physdock_tpu.infer import ranking as ranking_lib
@@ -75,7 +76,7 @@ class DockingPipeline:
             cfg=config.model, dtype=config.dtypes.compute_dtype
         )
         self.params = params
-        self.featurizer = featurizer
+        self.featurizer = featurizer  # SystemFeaturizer or FeaturizerWorker
         self.s = settings or SamplerSettings()
         self._jit_cond = jax.jit(
             lambda p, b: self.model.apply(p, b, method="conditioning")
@@ -85,6 +86,31 @@ class DockingPipeline:
         self._jit_sample = None
         self._jit_sample_batched = None
         self._jit_cond_batched = None
+
+    # ----------------------------------------------------------- featurize
+
+    def _load(self, system, **kw):
+        """featurizer.load, worker-aware.
+
+        With a FeaturizerWorker the CPU-heavy stages (featurization AND the
+        ETKDG-style conformer bank) run in a clean subprocess — off the
+        PJRT-client process whose relay threads multiply host numpy wall
+        time 5-20x on the tunneled single-core TPU host (see
+        data/feat_worker.py), and off the device-owning process in general
+        (dataloader-worker pattern).  The bank rides back in meta.
+        """
+        if isinstance(self.featurizer, FeaturizerWorker):
+            want = self.s.enable_physics_correction
+            feats, meta, confs = self.featurizer.load(
+                system,
+                num_confs=self.s.num_confs if want else None,
+                conf_seed=self.s.seed,
+                **kw,
+            )
+            if confs is not None:
+                meta["_conf_bank"] = confs
+            return feats, meta
+        return self.featurizer.load(system, **kw)
 
     # ------------------------------------------------------------- sampling
 
@@ -145,10 +171,12 @@ class DockingPipeline:
         lig_idx = np.asarray(meta["ligand_atom_idx"])
         if mol is None or len(lig_idx) == 0 or mol.num_atoms != len(lig_idx):
             return None, None
-        confs = generate_conformers(
-            mol, num_confs=self.s.num_confs, base_coords=mol.coords,
-            rng=np.random.default_rng(self.s.seed),
-        )
+        confs = meta.get("_conf_bank")
+        if confs is None:
+            confs = generate_conformers(
+                mol, num_confs=self.s.num_confs, base_coords=mol.coords,
+                rng=np.random.default_rng(self.s.seed),
+            )
         ff = build_ligand_ff(
             mol.atomic_numbers.tolist(),
             [(i, j) for i, j, _ in mol.bonds],
@@ -193,7 +221,7 @@ class DockingPipeline:
         result dict with poses, ranking, RMSD vs GT, timings."""
         s = self.s
         t_start = time.time()
-        feats, meta = self.featurizer.load(
+        feats, meta = self._load(
             system,
             remove_ligand=remove_ligand,
             smi=smi,
@@ -491,7 +519,7 @@ class DockingPipeline:
         items = []  # (smi, feats, meta)
         for smi in smiles:
             try:
-                feats, meta = self.featurizer.load(
+                feats, meta = self._load(
                     system,
                     remove_ligand=True,
                     smi=smi,

@@ -12,9 +12,11 @@ import numpy as np
 
 
 def force(x):
+    import jax
     import jax.numpy as jnp
 
-    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+    leaves = jax.tree_util.tree_leaves(x)
+    return sum(float(jnp.sum(l.astype(jnp.float32))) for l in leaves)
 
 
 def main():

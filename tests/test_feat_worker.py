@@ -1,0 +1,77 @@
+"""FeaturizerWorker must reproduce the inline featurizer exactly (same
+config, same seed) — it is the same code in a clean subprocess."""
+
+import numpy as np
+import pytest
+
+from physdock_tpu.config import PhysDockConfig
+from physdock_tpu.data.feat_worker import FeaturizerWorker
+from physdock_tpu.data.feature_loader import SystemFeaturizer
+
+PKL = "/root/reference/demo/redocking/Posebusters_subset/5SAK_ZRY_A_1.pkl.gz"
+MSA = "/root/reference/demo/redocking/features"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PhysDockConfig.named(
+        "toy", crop_size=64, atom_crop_size=512, bf16=False,
+        infer_use_pocket=True, infer_use_key_res=True,
+    )
+
+
+def test_worker_matches_inline(cfg):
+    import os
+
+    if not os.path.exists(PKL):
+        pytest.skip("demo assets unavailable")
+    kw = dict(
+        msa_features_dir=f"{MSA}/msa_features",
+        uniprot_msa_features_dir=f"{MSA}/uniprot_msa_features",
+        inference_mode=True,
+        seed=0,
+    )
+    inline = SystemFeaturizer(cfg.data, **kw)
+    f_in, m_in = inline.load(PKL, num_msa_rounds=2)
+
+    worker = FeaturizerWorker(cfg.data, **kw)
+    try:
+        f_wk, m_wk, confs = worker.load(PKL, num_msa_rounds=2, num_confs=4)
+    finally:
+        worker.stop()
+
+    assert set(f_in) == set(f_wk)
+    for k in f_in:
+        np.testing.assert_array_equal(
+            np.asarray(f_in[k]), np.asarray(f_wk[k]), err_msg=k
+        )
+    assert m_wk["system_id"] == m_in["system_id"]
+    np.testing.assert_array_equal(
+        np.asarray(m_wk["ligand_atom_idx"]), np.asarray(m_in["ligand_atom_idx"])
+    )
+    # conformer bank generated worker-side with the same seed as the
+    # pipeline's inline path
+    from physdock_tpu.data.embed import generate_conformers
+
+    mol = m_in["ref_mol"]
+    if mol is not None and confs is not None:
+        ref = generate_conformers(
+            mol, num_confs=4, base_coords=mol.coords,
+            rng=np.random.default_rng(0),
+        )
+        np.testing.assert_allclose(confs, ref, atol=1e-6)
+
+
+def test_worker_error_surfaces(cfg):
+    worker = FeaturizerWorker(cfg.data, inference_mode=True, seed=0)
+    try:
+        with pytest.raises(RuntimeError, match="featurizer worker failed"):
+            worker.load("/nonexistent/system.pkl.gz")
+        # worker survives an error and keeps serving
+        import os
+
+        if os.path.exists(PKL):
+            f, m, _ = worker.load(PKL, num_msa_rounds=1)
+            assert "s_mask" in f
+    finally:
+        worker.stop()
