@@ -17,9 +17,14 @@ Why a subprocess (two independent reasons):
 
 Protocol: length-prefixed pickles over stdin/stdout.  Requests:
   ("init", data_cfg, featurizer_kwargs)          -> "ready"
-  ("load", system, load_kwargs, num_confs|None, conf_seed)
+  ("load", system, load_kwargs, num_confs|None, conf_seed, compact)
       -> ("ok", (feats, meta, confs|None)) | ("err", traceback_str)
   ("stop",)                                      -> process exits
+
+With compact=True the worker ships the int8 transport form
+(model/compact.compact_batch_np; per-round MSA pre-compacted into
+meta["batch_msa_feat_c"]): ~1 MB over the pipe instead of ~40 MB, and
+the device-owning parent never touches fat numpy at all.
 
 Conformer generation (the other CPU-heavy stage of the guided dock) runs
 in the worker for the same reason, keyed off the loaded ref_mol.
@@ -93,9 +98,12 @@ class FeaturizerWorker:
         system,
         num_confs: Optional[int] = None,
         conf_seed: int = 0,
+        compact: bool = False,
         **kw,
     ):
-        _send(self.proc.stdin, ("load", system, kw, num_confs, conf_seed))
+        _send(
+            self.proc.stdin, ("load", system, kw, num_confs, conf_seed, compact)
+        )
         status, payload = _recv(self.proc.stdout)
         if status != "ok":
             raise RuntimeError(f"featurizer worker failed:\n{payload}")
@@ -139,9 +147,21 @@ def _serve() -> None:
             _send(out, "ready")
             continue
         if msg[0] == "load":
-            _, system, kw, num_confs, conf_seed = msg
+            _, system, kw, num_confs, conf_seed, compact = msg
             try:
                 feats, meta = fz.load(system, **kw)
+                if compact:
+                    from physdock_tpu.model.compact import (
+                        compact_batch_np,
+                        compact_msa_np,
+                    )
+
+                    feats = compact_batch_np(feats)
+                    bm = meta.pop("batch_msa_feat", None)
+                    if bm is not None:
+                        meta["batch_msa_feat_c"] = [
+                            compact_msa_np(m) for m in bm
+                        ]
                 confs = None
                 mol = meta.get("ref_mol")
                 if num_confs and mol is not None:

@@ -105,6 +105,7 @@ class DockingPipeline:
                 system,
                 num_confs=self.s.num_confs if want else None,
                 conf_seed=self.s.seed,
+                compact=True,
                 **kw,
             )
             if confs is not None:
@@ -233,8 +234,15 @@ class DockingPipeline:
         # system at crop 256/2048
         from physdock_tpu.model.compact import compact_batch_np, compact_msa_np
 
-        batch = {k: jnp.asarray(v) for k, v in compact_batch_np(feats).items()}
-        batch_msa_feat = meta.pop("batch_msa_feat", None)
+        if "msa_tok_c" in feats:  # worker already shipped the compact form
+            batch = {k: jnp.asarray(v) for k, v in feats.items()}
+        else:
+            batch = {
+                k: jnp.asarray(v) for k, v in compact_batch_np(feats).items()
+            }
+        batch_msa_feat = meta.pop("batch_msa_feat_c", None)
+        if batch_msa_feat is None:
+            batch_msa_feat = meta.pop("batch_msa_feat", None)
         if s.enable_physics_correction:
             guidance, conf_bank = self._build_guidance(batch, meta)
         else:
@@ -267,7 +275,9 @@ class DockingPipeline:
             if batch_msa_feat is not None:
                 # MSA clusters resampled per round (redocking.py:187-188);
                 # same shape every round -> single compile
-                c = compact_msa_np(batch_msa_feat[rnd % len(batch_msa_feat)])
+                c = batch_msa_feat[rnd % len(batch_msa_feat)]
+                if not isinstance(c, dict):
+                    c = compact_msa_np(c)
                 batch["msa_tok_c"] = jnp.asarray(c["msa_tok_c"])
                 batch["msa_del_c"] = jnp.asarray(c["msa_del_c"])
             conditioning = self._jit_cond(self.params, batch)
@@ -552,7 +562,10 @@ class DockingPipeline:
         B = len(group)
         feats_list = [f for _, f, _ in group]
         metas = [m for _, _, m in group]
-        batch_msa = [m.pop("batch_msa_feat", None) for m in metas]
+        batch_msa = [
+            m.pop("batch_msa_feat_c", None) or m.pop("batch_msa_feat", None)
+            for m in metas
+        ]
         lig_idxs = [np.asarray(m["ligand_atom_idx"]) for m in metas]
         L_max = max(len(ix) for ix in lig_idxs)
 
@@ -588,7 +601,9 @@ class DockingPipeline:
 
         from physdock_tpu.model.compact import compact_batch_np, compact_msa_np
 
-        compacts = [compact_batch_np(f) for f in feats_list]
+        compacts = [
+            f if "msa_tok_c" in f else compact_batch_np(f) for f in feats_list
+        ]
         stacked = {
             k: jnp.asarray(np.stack([np.asarray(c[k]) for c in compacts]))
             for k in compacts[0]
@@ -630,7 +645,9 @@ class DockingPipeline:
             keys = jax.random.split(k_round, B)
             for b, bm in enumerate(batch_msa):
                 if bm is not None:
-                    c = compact_msa_np(bm[rnd % len(bm)])
+                    c = bm[rnd % len(bm)]
+                    if not isinstance(c, dict):
+                        c = compact_msa_np(c)
                     stacked["msa_tok_c"] = (
                         stacked["msa_tok_c"].at[b].set(c["msa_tok_c"])
                     )

@@ -75,3 +75,46 @@ def test_worker_error_surfaces(cfg):
             assert "s_mask" in f
     finally:
         worker.stop()
+
+
+def test_pipeline_dock_through_worker(cfg):
+    """Full dock with the worker featurizer (compact transport): must match
+    the inline-featurizer pipeline's results bit-for-bit on CPU."""
+    import os
+
+    if not os.path.exists(PKL):
+        pytest.skip("demo assets unavailable")
+    from physdock_tpu.cli.common import load_params
+    from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
+
+    kw = dict(
+        msa_features_dir=f"{MSA}/msa_features",
+        uniprot_msa_features_dir=f"{MSA}/uniprot_msa_features",
+        inference_mode=True,
+        seed=0,
+    )
+    params = load_params(None, cfg)
+    settings = SamplerSettings(
+        max_samples=4, num_samples_per_round=2, max_rounds=2, steps=2,
+        enable_physics_correction=True, num_confs=4, enable_ranking=True,
+        seed=0,
+    )
+
+    inline = DockingPipeline(
+        cfg, params, SystemFeaturizer(cfg.data, **kw), settings
+    )
+    r_in = inline.dock(PKL, output_dir="/tmp/wk_in", write_outputs=False)
+
+    worker = FeaturizerWorker(cfg.data, **kw)
+    try:
+        through = DockingPipeline(cfg, params, worker, settings)
+        r_wk = through.dock(PKL, output_dir="/tmp/wk_out", write_outputs=False)
+    finally:
+        worker.stop()
+
+    assert r_wk["system_id"] == r_in["system_id"]
+    assert r_wk["rounds"] == r_in["rounds"]
+    assert r_wk["rank_order"] == r_in["rank_order"]
+    np.testing.assert_allclose(
+        np.asarray(r_wk["top5_rmsd"]), np.asarray(r_in["top5_rmsd"]), atol=1e-4
+    )
