@@ -93,21 +93,30 @@ class FeaturizerWorker:
             featurizer_kwargs.get("use_x_gt_ligand_as_ref_pos", False)
         )
 
-    def load(
+    def submit(
         self,
         system,
         num_confs: Optional[int] = None,
         conf_seed: int = 0,
         compact: bool = False,
         **kw,
-    ):
+    ) -> None:
+        """Queue a load; the worker computes it while the caller does device
+        work (prefetch).  Results come back in submission order via
+        `result()`."""
         _send(
             self.proc.stdin, ("load", system, kw, num_confs, conf_seed, compact)
         )
+
+    def result(self):
         status, payload = _recv(self.proc.stdout)
         if status != "ok":
             raise RuntimeError(f"featurizer worker failed:\n{payload}")
         return payload  # (feats, meta, confs | None)
+
+    def load(self, system, **kw):
+        self.submit(system, **kw)
+        return self.result()
 
     def stop(self) -> None:
         if self._alive:
@@ -148,6 +157,9 @@ def _serve() -> None:
             continue
         if msg[0] == "load":
             _, system, kw, num_confs, conf_seed, compact = msg
+            import time as _time
+
+            _t0 = _time.perf_counter()
             try:
                 feats, meta = fz.load(system, **kw)
                 if compact:
@@ -175,6 +187,7 @@ def _serve() -> None:
                         base_coords=mol.coords,
                         rng=np.random.default_rng(conf_seed),
                     )
+                meta["_worker_time_s"] = round(_time.perf_counter() - _t0, 3)
                 _send(out, ("ok", (feats, meta, confs)))
             except Exception:
                 _send(out, ("err", traceback.format_exc()))

@@ -220,15 +220,97 @@ class DockingPipeline:
     ) -> Dict:
         """Dock one system (optionally replacing the ligand). Returns a
         result dict with poses, ranking, RMSD vs GT, timings."""
-        s = self.s
         t_start = time.time()
-        feats, meta = self._load(
+        loaded = self._load(
             system,
             remove_ligand=remove_ligand,
             smi=smi,
             ligand_sdf=ligand_sdf,
-            num_msa_rounds=max(1, s.max_rounds),
+            num_msa_rounds=max(1, self.s.max_rounds),
         )
+        return self._dock_loaded(
+            loaded,
+            output_dir,
+            remove_ligand=remove_ligand,
+            smi=smi,
+            write_outputs=write_outputs,
+            t_start=t_start,
+        )
+
+    def dock_many(
+        self,
+        systems,
+        output_root: str,
+        remove_ligand: bool = False,
+        smi: Optional[str] = None,
+        ligand_sdf: Optional[str] = None,
+        write_outputs: bool = True,
+    ) -> List[Dict]:
+        """Dock a list of systems, PIPELINING host featurization with device
+        sampling: system k+1 is featurized by the worker subprocess while
+        system k's diffusion rounds run on the device (the reference docks
+        strictly sequentially — redocking.py:156).  This both uses the idle
+        host during device compute and shields throughput from episodic
+        host-CPU contention (scripts/tpu_contention_probe.py)."""
+        if not isinstance(self.featurizer, FeaturizerWorker):
+            return [
+                self.dock(
+                    sysp,
+                    os.path.join(output_root, f"sys{i}"),
+                    remove_ligand=remove_ligand,
+                    smi=smi,
+                    ligand_sdf=ligand_sdf,
+                    write_outputs=write_outputs,
+                )
+                for i, sysp in enumerate(systems)
+            ]
+        want = self.s.enable_physics_correction
+        sub = dict(
+            num_confs=self.s.num_confs if want else None,
+            conf_seed=self.s.seed,
+            compact=True,
+            remove_ligand=remove_ligand,
+            smi=smi,
+            ligand_sdf=ligand_sdf,
+            num_msa_rounds=max(1, self.s.max_rounds),
+        )
+        # submit everything upfront: the worker serves strictly in order and
+        # the ~64 KB pipe gives natural backpressure (it blocks writing a
+        # finished result until the parent drains the previous one), so this
+        # keeps the worker continuously busy at bounded memory
+        for sysp in systems:
+            self.featurizer.submit(sysp, **sub)
+        results = []
+        for i, _ in enumerate(systems):
+            t_start = time.time()
+            feats, meta, confs = self.featurizer.result()
+            if confs is not None:
+                meta["_conf_bank"] = confs
+            results.append(
+                self._dock_loaded(
+                    (feats, meta),
+                    os.path.join(output_root, str(meta["system_id"])),
+                    remove_ligand=remove_ligand,
+                    smi=smi,
+                    write_outputs=write_outputs,
+                    t_start=t_start,
+                )
+            )
+        return results
+
+    def _dock_loaded(
+        self,
+        loaded,
+        output_dir: str,
+        *,
+        remove_ligand: bool,
+        smi: Optional[str],
+        write_outputs: bool,
+        t_start: float,
+    ) -> Dict:
+        s = self.s
+        feats, meta = loaded
+        t_loaded = time.time()
         # compact transport: one-hot features ship as int8 indices and are
         # re-expanded on device (model/compact.py) — ~27 MB -> ~0.5 MB per
         # system at crop 256/2048
@@ -243,6 +325,9 @@ class DockingPipeline:
         batch_msa_feat = meta.pop("batch_msa_feat_c", None)
         if batch_msa_feat is None:
             batch_msa_feat = meta.pop("batch_msa_feat", None)
+        # force transfer completion so the timing split is real
+        jax.block_until_ready(batch)
+        t_upload = time.time()
         if s.enable_physics_correction:
             guidance, conf_bank = self._build_guidance(batch, meta)
         else:
@@ -267,6 +352,11 @@ class DockingPipeline:
                 gt_ligand=gt_lig,
             )
         t_feat = time.time() - t_start
+        timings = {
+            "load_s": round(t_loaded - t_start, 3),
+            "upload_s": round(t_upload - t_loaded, 3),
+            "guidance_s": round(time.time() - t_upload, 3),
+        }
         rounds_run = 0
         x = None
         for rnd in range(s.max_rounds if guided else 1):
@@ -314,11 +404,14 @@ class DockingPipeline:
         poses = (
             protocol.final_poses() if guided else np.asarray(x)[: s.max_samples]
         )
-        return self._postprocess(
+        timings["rounds_s"] = round(time.time() - t_start - t_feat, 3)
+        res = self._postprocess(
             feats, meta, poses, output_dir,
             remove_ligand=remove_ligand, smi=smi, rounds_run=rounds_run,
             t_feat=t_feat, t_start=t_start, write_outputs=write_outputs,
         )
+        res["timings"] = timings
+        return res
 
     # -------------------------------------------------------- post-processing
 

@@ -118,3 +118,50 @@ def test_pipeline_dock_through_worker(cfg):
     np.testing.assert_allclose(
         np.asarray(r_wk["top5_rmsd"]), np.asarray(r_in["top5_rmsd"]), atol=1e-4
     )
+
+
+def test_dock_many_prefetch_matches_sequential(cfg):
+    """dock_many (prefetching worker pipeline) == sequential dock()."""
+    import os
+
+    if not os.path.exists(PKL):
+        pytest.skip("demo assets unavailable")
+    from physdock_tpu.cli.common import load_params
+    from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
+
+    systems = [
+        PKL,
+        "/root/reference/demo/redocking/Posebusters_subset/5SD5_HWI_A_1.pkl.gz",
+    ]
+    kw = dict(
+        msa_features_dir=f"{MSA}/msa_features",
+        uniprot_msa_features_dir=f"{MSA}/uniprot_msa_features",
+        inference_mode=True,
+        seed=0,
+    )
+    params = load_params(None, cfg)
+    settings = SamplerSettings(
+        max_samples=2, num_samples_per_round=2, max_rounds=1, steps=2,
+        enable_physics_correction=True, num_confs=4, enable_ranking=True,
+        seed=0,
+    )
+
+    seq = DockingPipeline(cfg, params, SystemFeaturizer(cfg.data, **kw), settings)
+    r_seq = [
+        seq.dock(p, output_dir=f"/tmp/dm_seq{i}", write_outputs=False)
+        for i, p in enumerate(systems)
+    ]
+
+    worker = FeaturizerWorker(cfg.data, **kw)
+    try:
+        many = DockingPipeline(cfg, params, worker, settings)
+        r_many = many.dock_many(systems, "/tmp/dm_many", write_outputs=False)
+    finally:
+        worker.stop()
+
+    for a, b in zip(r_seq, r_many):
+        assert a["system_id"] == b["system_id"]
+        assert a["rank_order"] == b["rank_order"]
+        np.testing.assert_allclose(
+            np.asarray(a["top5_rmsd"]), np.asarray(b["top5_rmsd"]), atol=1e-4
+        )
