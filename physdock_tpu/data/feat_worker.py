@@ -118,6 +118,12 @@ class FeaturizerWorker:
         self.submit(system, **kw)
         return self.result()
 
+    def submit_post(self, poses, args: dict) -> None:
+        """Queue pose postprocessing (align/rank/score — pure numpy) in the
+        worker.  FIFO with loads: dock_many queues all loads first, so load
+        responses drain during the dock loop and post responses after it."""
+        _send(self.proc.stdin, ("post", poses, args))
+
     def stop(self) -> None:
         if self._alive:
             self._alive = False
@@ -154,6 +160,16 @@ def _serve() -> None:
             _, data_cfg, kwargs = msg
             fz = SystemFeaturizer(data_cfg, **kwargs)
             _send(out, "ready")
+            continue
+        if msg[0] == "post":
+            _, poses, args = msg
+            try:
+                from physdock_tpu.infer.ranking import postprocess_poses
+
+                x_gt = args.pop("x_gt")
+                _send(out, ("ok", postprocess_poses(poses, x_gt, **args)))
+            except Exception:
+                _send(out, ("err", traceback.format_exc()))
             continue
         if msg[0] == "load":
             _, system, kw, num_confs, conf_seed, compact = msg

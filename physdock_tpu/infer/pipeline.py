@@ -280,22 +280,46 @@ class DockingPipeline:
         # keeps the worker continuously busy at bounded memory
         for sysp in systems:
             self.featurizer.submit(sysp, **sub)
-        results = []
+        # postprocess (align/rank/score) is offloaded to the same worker so
+        # it overlaps the NEXT system's device rounds; FIFO ordering means
+        # all load responses drain before the first post response
+        offload = not self.s.enable_sidechain_relaxation
+        results: List[Dict] = []
+        pending = []
         for i, _ in enumerate(systems):
             t_start = time.time()
             feats, meta, confs = self.featurizer.result()
             if confs is not None:
                 meta["_conf_bank"] = confs
-            results.append(
-                self._dock_loaded(
-                    (feats, meta),
-                    os.path.join(output_root, str(meta["system_id"])),
-                    remove_ligand=remove_ligand,
-                    smi=smi,
-                    write_outputs=write_outputs,
-                    t_start=t_start,
-                )
+            out_dir = os.path.join(output_root, str(meta["system_id"]))
+            ctx = self._dock_loaded(
+                (feats, meta),
+                out_dir,
+                remove_ligand=remove_ligand,
+                smi=smi,
+                write_outputs=write_outputs,
+                t_start=t_start,
+                defer_post=offload,
             )
+            if offload:
+                self.featurizer.submit_post(
+                    ctx["poses"],
+                    self._post_args(ctx["feats"], ctx["meta"], remove_ligand, smi),
+                )
+                pending.append((ctx, out_dir))
+            else:
+                results.append(ctx)
+        for ctx, out_dir in pending:
+            post = self.featurizer.result()
+            res = self._postprocess(
+                ctx["feats"], ctx["meta"], ctx["poses"], out_dir,
+                remove_ligand=remove_ligand, smi=smi,
+                rounds_run=ctx["rounds_run"], t_feat=ctx["t_feat"],
+                t_start=ctx["t_start"], write_outputs=write_outputs,
+                post=post,
+            )
+            res["timings"] = ctx["timings"]
+            results.append(res)
         return results
 
     def _dock_loaded(
@@ -307,6 +331,7 @@ class DockingPipeline:
         smi: Optional[str],
         write_outputs: bool,
         t_start: float,
+        defer_post: bool = False,
     ) -> Dict:
         s = self.s
         feats, meta = loaded
@@ -405,6 +430,11 @@ class DockingPipeline:
             protocol.final_poses() if guided else np.asarray(x)[: s.max_samples]
         )
         timings["rounds_s"] = round(time.time() - t_start - t_feat, 3)
+        if defer_post:
+            return dict(
+                feats=feats, meta=meta, poses=poses, rounds_run=rounds_run,
+                t_feat=t_feat, t_start=t_start, timings=timings,
+            )
         res = self._postprocess(
             feats, meta, poses, output_dir,
             remove_ligand=remove_ligand, smi=smi, rounds_run=rounds_run,
@@ -412,6 +442,21 @@ class DockingPipeline:
         )
         res["timings"] = timings
         return res
+
+    def _post_args(self, feats, meta, remove_ligand, smi) -> Dict:
+        """numpy argument pack for ranking.postprocess_poses."""
+        lig_idx = np.asarray(meta["ligand_atom_idx"])
+        return dict(
+            x_gt=np.asarray(feats["x_gt"]),
+            lig_idx=lig_idx,
+            centre_ids=np.asarray(feats["token_id_to_centre_atom_id"]),
+            pocket_res=np.asarray(feats["pocket_res_feat"]),
+            is_protein=np.asarray(feats["is_protein"]),
+            s_mask=np.asarray(feats["s_mask"]),
+            a_mask=np.asarray(feats["a_mask"]),
+            enable_ranking=self.s.enable_ranking,
+            compute_rmsd=bool(len(lig_idx)) and not remove_ligand and smi is None,
+        )
 
     # -------------------------------------------------------- post-processing
 
@@ -428,47 +473,30 @@ class DockingPipeline:
         t_feat: float,
         t_start: float,
         write_outputs: bool,
+        post=None,
     ) -> Dict:
         """Align to the GT pocket-CA frame, optionally relax, rank, score,
-        and write outputs (redocking.py:341-447)."""
+        and write outputs (redocking.py:341-447).  `post` short-circuits the
+        numpy stages with a precomputed (aligned, order, rmsds) from the
+        worker (dock_many offload)."""
         s = self.s
         lig_idx = np.asarray(meta["ligand_atom_idx"])
         x_gt = np.asarray(feats["x_gt"])
+        if post is None:
+            relax_fn = None
+            if s.enable_sidechain_relaxation:
+                # restraint-field relaxation of each pose (replaces the
+                # reference OpenMM stage — redocking.py:438-445)
+                from physdock_tpu.infer.relax import relax_complex
 
-        # align to GT pocket-CA frame
-        centre_ids = np.asarray(feats["token_id_to_centre_atom_id"])
-        pocket_tok = np.asarray(feats["pocket_res_feat"]) * np.asarray(
-            feats["is_protein"]
-        )
-        a_mask = np.asarray(feats["a_mask"])
-        pocket_ca = np.zeros(len(a_mask), np.float32)
-        sel = centre_ids[(pocket_tok > 0) & (np.asarray(feats["s_mask"]) > 0)]
-        pocket_ca[sel] = 1.0
-        if pocket_ca.sum() < 3:  # fallback: all CAs
-            pocket_ca[centre_ids[np.asarray(feats["is_protein"]) > 0]] = 1.0
-        pocket_ca = pocket_ca * a_mask
-        aligned = ranking_lib.pocket_frame_align(poses, x_gt, pocket_ca)
+                def relax_fn(aligned):
+                    return np.stack([relax_complex(a, meta) for a in aligned])
 
-        # optional restraint-field relaxation of each pose
-        # (replaces the reference's OpenMM stage — redocking.py:438-445)
-        if s.enable_sidechain_relaxation:
-            from physdock_tpu.infer.relax import relax_complex
-
-            aligned = np.stack([relax_complex(a, meta) for a in aligned])
-
-        # rank
-        order = list(range(len(aligned)))
-        if s.enable_ranking and len(lig_idx):
-            order = ranking_lib.rank_poses(aligned[:, lig_idx], n_clusters=5)
-
-        # RMSD vs GT ligand (benchmark metric; meaningless for screening)
-        lig_rmsds = None
-        if len(lig_idx) and not remove_ligand and smi is None:
-            gt_lig = x_gt[lig_idx]
-            lig_rmsds = [
-                float(np.sqrt(np.mean(np.sum((aligned[i][lig_idx] - gt_lig) ** 2, -1))))
-                for i in order
-            ]
+            args = self._post_args(feats, meta, remove_ligand, smi)
+            post = ranking_lib.postprocess_poses(
+                poses, args.pop("x_gt"), relax_fn=relax_fn, **args
+            )
+        aligned, order, lig_rmsds = post
 
         result = {
             "system_id": meta["system_id"],

@@ -104,3 +104,45 @@ def pocket_frame_align(
         )  # place pred in gt frame
         out.append(np.asarray(aligned[0]))
     return np.stack(out)
+
+
+def postprocess_poses(
+    poses: np.ndarray,
+    x_gt: np.ndarray,
+    *,
+    lig_idx: np.ndarray,
+    centre_ids: np.ndarray,
+    pocket_res: np.ndarray,
+    is_protein: np.ndarray,
+    s_mask: np.ndarray,
+    a_mask: np.ndarray,
+    enable_ranking: bool,
+    compute_rmsd: bool,
+    relax_fn=None,
+):
+    """Pocket-frame align, (optionally relax,) rank and score poses
+    (redocking.py:341-447 host stages).  Pure numpy: runs inline or inside
+    the featurizer worker subprocess — pipeline.dock_many offloads it there
+    so it overlaps the next system's device rounds instead of idling the
+    device.  Returns (aligned [S, A, 3], rank order, lig_rmsds | None)."""
+    pocket_tok = pocket_res * is_protein
+    pocket_ca = np.zeros(len(a_mask), np.float32)
+    sel = centre_ids[(pocket_tok > 0) & (s_mask > 0)]
+    pocket_ca[sel] = 1.0
+    if pocket_ca.sum() < 3:  # fallback: all CAs
+        pocket_ca[centre_ids[is_protein > 0]] = 1.0
+    pocket_ca = pocket_ca * a_mask
+    aligned = pocket_frame_align(poses, x_gt, pocket_ca)
+    if relax_fn is not None:
+        aligned = relax_fn(aligned)
+    order = list(range(len(aligned)))
+    if enable_ranking and len(lig_idx):
+        order = rank_poses(aligned[:, lig_idx], n_clusters=5)
+    lig_rmsds = None
+    if compute_rmsd and len(lig_idx):
+        gt_lig = x_gt[lig_idx]
+        lig_rmsds = [
+            float(np.sqrt(np.mean(np.sum((aligned[i][lig_idx] - gt_lig) ** 2, -1))))
+            for i in order
+        ]
+    return aligned, order, lig_rmsds
