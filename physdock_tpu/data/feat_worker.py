@@ -34,9 +34,11 @@ from __future__ import annotations
 
 import os
 import pickle
+import queue
 import struct
 import subprocess
 import sys
+import threading
 import traceback
 from typing import Optional
 
@@ -85,13 +87,33 @@ class FeaturizerWorker:
             env=env,
         )
         self._alive = True
-        _send(self.proc.stdin, ("init", data_cfg, featurizer_kwargs))
+        # all requests go through a writer thread: a large request (e.g. the
+        # ~1 MB pose array of submit_post) would otherwise block the caller
+        # on the 64 KB stdin pipe while the worker is itself blocked writing
+        # a pending result that the caller has not drained yet -> deadlock
+        self._wq: "queue.Queue" = queue.Queue()
+        self._writer = threading.Thread(target=self._write_loop, daemon=True)
+        self._writer.start()
+        self._enqueue(("init", data_cfg, featurizer_kwargs))
         ready = _recv(self.proc.stdout)
         assert ready == "ready", ready
         # mirrored for pipeline attribute checks
         self.use_x_gt_ligand_as_ref_pos = bool(
             featurizer_kwargs.get("use_x_gt_ligand_as_ref_pos", False)
         )
+
+    def _write_loop(self) -> None:
+        while True:
+            item = self._wq.get()
+            if item is None:
+                return
+            try:
+                _send(self.proc.stdin, item)
+            except Exception:
+                return  # worker died; reader side surfaces the error
+
+    def _enqueue(self, msg) -> None:
+        self._wq.put(msg)
 
     def submit(
         self,
@@ -104,9 +126,7 @@ class FeaturizerWorker:
         """Queue a load; the worker computes it while the caller does device
         work (prefetch).  Results come back in submission order via
         `result()`."""
-        _send(
-            self.proc.stdin, ("load", system, kw, num_confs, conf_seed, compact)
-        )
+        self._enqueue(("load", system, kw, num_confs, conf_seed, compact))
 
     def result(self):
         status, payload = _recv(self.proc.stdout)
@@ -122,13 +142,15 @@ class FeaturizerWorker:
         """Queue pose postprocessing (align/rank/score — pure numpy) in the
         worker.  FIFO with loads: dock_many queues all loads first, so load
         responses drain during the dock loop and post responses after it."""
-        _send(self.proc.stdin, ("post", poses, args))
+        self._enqueue(("post", poses, args))
 
     def stop(self) -> None:
         if self._alive:
             self._alive = False
             try:
-                _send(self.proc.stdin, ("stop",))
+                self._enqueue(("stop",))
+                self._wq.put(None)
+                self._writer.join(timeout=10)
                 self.proc.wait(timeout=10)
             except Exception:
                 self.proc.kill()

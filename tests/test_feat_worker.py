@@ -165,3 +165,47 @@ def test_dock_many_prefetch_matches_sequential(cfg):
         np.testing.assert_allclose(
             np.asarray(a["top5_rmsd"]), np.asarray(b["top5_rmsd"]), atol=1e-4
         )
+
+
+def test_large_payload_no_pipe_deadlock(cfg):
+    """Multiple >1 MB requests queued without draining must not deadlock.
+
+    Regression: submit_post writes ~1 MB of poses; without the writer
+    thread the parent blocked on the 64 KB stdin pipe while the worker was
+    blocked writing an undrained result (only reproduced at real sizes —
+    toy shapes fit inside the pipe buffers)."""
+    import signal
+
+    worker = FeaturizerWorker(cfg.data, inference_mode=True, seed=0)
+
+    def on_alarm(*a):
+        worker.proc.kill()
+        raise TimeoutError("worker pipe deadlock")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(120)
+    try:
+        n_atoms, n_poses = 30000, 4  # ~1.4 MB per request
+        rng = np.random.default_rng(0)
+        poses = rng.normal(size=(n_poses, n_atoms, 3)).astype(np.float32)
+        args = dict(
+            x_gt=rng.normal(size=(n_atoms, 3)).astype(np.float32),
+            lig_idx=np.arange(10),
+            centre_ids=np.zeros(16, np.int64),
+            pocket_res=np.ones(16, np.float32),
+            is_protein=np.ones(16, np.float32),
+            s_mask=np.ones(16, np.float32),
+            a_mask=np.ones(n_atoms, np.float32),
+            enable_ranking=False,
+            compute_rmsd=True,
+        )
+        for _ in range(3):
+            worker.submit_post(poses.copy(), dict(args))
+        for _ in range(3):
+            aligned, order, rmsds = worker.result()
+            assert aligned.shape == poses.shape
+            assert len(rmsds) == n_poses
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+        worker.stop()
