@@ -96,7 +96,12 @@ def main():
 
     def dock_pass():
         # the production shape: many systems, worker featurization
-        # prefetched behind the previous system's device rounds
+        # prefetched behind the previous system's device rounds.
+        # batch_size=1: cross-system device batching measured SLOWER here
+        # (33 s vs 20 s per pass) — collecting every load upfront forfeits
+        # the load/rounds overlap and the B=4 vmapped sampler does not beat
+        # 4 sequential programs at 20 poses each; it stays available for
+        # small-pose-count screens where it wins 3.6x.
         return pipe.dock_many(
             systems, "/tmp/bench_out", write_outputs=False
         )

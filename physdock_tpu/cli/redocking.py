@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("-f", "--input_dir", default=None)
     p.add_argument("--ligand_sdf", default=None)
     p.add_argument("--ligand_smi", default=None)
+    p.add_argument(
+        "--dock_batch_size", type=int, default=1,
+        help="stack this many same-shape systems into one vmapped device "
+        "program (1 = sequential docks with prefetched featurization)",
+    )
     add_common_flags(p)
     args = p.parse_args(argv)
 
@@ -38,12 +43,33 @@ def main(argv=None):
 
     pipe = build_pipeline(args)
     results = []
+    todo = []
     for sys_pkl in systems:
         name = os.path.basename(sys_pkl).replace(".pkl.gz", "")
-        out = os.path.join(args.output_dir, name)
-        if os.path.exists(os.path.join(out, "top5_rmsd.json")):
+        if os.path.exists(os.path.join(args.output_dir, name, "top5_rmsd.json")):
             print(f"[skip] {name}: outputs exist")
             continue
+        todo.append(sys_pkl)
+    if len(todo) > 1:
+        try:
+            # multi-system path: featurization prefetched behind device
+            # rounds; optional cross-system device batching
+            rs = pipe.dock_many(
+                todo,
+                args.output_dir,
+                ligand_sdf=args.ligand_sdf,
+                smi=args.ligand_smi,
+                batch_size=args.dock_batch_size,
+            )
+            for r in rs:
+                print(f"[done] {r['system_id']}: top5_rmsd={r['top5_rmsd']}")
+            results.extend(rs)
+            todo = []
+        except Exception as e:
+            print(f"[dock_many failed: {e}; falling back to sequential]")
+    for sys_pkl in todo:
+        name = os.path.basename(sys_pkl).replace(".pkl.gz", "")
+        out = os.path.join(args.output_dir, name)
         try:
             r = pipe.dock(
                 sys_pkl,

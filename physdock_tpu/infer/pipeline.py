@@ -245,13 +245,31 @@ class DockingPipeline:
         smi: Optional[str] = None,
         ligand_sdf: Optional[str] = None,
         write_outputs: bool = True,
+        batch_size: int = 1,
     ) -> List[Dict]:
         """Dock a list of systems, PIPELINING host featurization with device
         sampling: system k+1 is featurized by the worker subprocess while
         system k's diffusion rounds run on the device (the reference docks
         strictly sequentially — redocking.py:156).  This both uses the idle
         host during device compute and shields throughput from episodic
-        host-CPU contention (scripts/tpu_contention_probe.py)."""
+        host-CPU contention (scripts/tpu_contention_probe.py).
+
+        batch_size > 1 additionally STACKS same-shape systems and runs
+        conditioning + the guided sampler vmapped over the stack in one
+        device program (same machinery as batched virtual screening); poses
+        then differ from a sequential run only through the per-batch RNG
+        split.  Systems whose guidance cannot be built fall back to the
+        sequential path."""
+        if batch_size > 1 and isinstance(self.featurizer, FeaturizerWorker):
+            return self._dock_many_batched(
+                systems,
+                output_root,
+                remove_ligand=remove_ligand,
+                smi=smi,
+                ligand_sdf=ligand_sdf,
+                write_outputs=write_outputs,
+                batch_size=batch_size,
+            )
         if not isinstance(self.featurizer, FeaturizerWorker):
             return [
                 self.dock(
@@ -320,6 +338,104 @@ class DockingPipeline:
             )
             res["timings"] = ctx["timings"]
             results.append(res)
+        return results
+
+    def _dock_many_batched(
+        self,
+        systems,
+        output_root: str,
+        *,
+        remove_ligand: bool,
+        smi: Optional[str],
+        ligand_sdf: Optional[str],
+        write_outputs: bool,
+        batch_size: int,
+    ) -> List[Dict]:
+        """Batched dock_many: featurize everything (worker), group by shape
+        signature, run chunks of <= batch_size as one vmapped program."""
+        want = self.s.enable_physics_correction
+        sub = dict(
+            num_confs=self.s.num_confs if want else None,
+            conf_seed=self.s.seed,
+            compact=True,
+            remove_ligand=remove_ligand,
+            smi=smi,
+            ligand_sdf=ligand_sdf,
+            num_msa_rounds=max(1, self.s.max_rounds),
+        )
+        t_start = time.time()
+        for sysp in systems:
+            self.featurizer.submit(sysp, **sub)
+        loaded = []
+        for _ in systems:
+            feats, meta, confs = self.featurizer.result()
+            if confs is not None:
+                meta["_conf_bank"] = confs
+            loaded.append((feats, meta))
+
+        # group by MSA depth (rows cannot be padded without a row mask);
+        # token/atom buckets are re-padded to the chunk max below
+        groups: Dict[tuple, list] = {}
+        for it in loaded:
+            sig = (np.shape(it[0].get("msa_tok_c", it[0].get("msa_feat")))[0],)
+            groups.setdefault(sig, []).append(it)
+
+        from physdock_tpu.model.compact import (
+            pad_compact_msa_np,
+            pad_compact_np,
+        )
+
+        ablate = getattr(self.featurizer, "use_x_gt_ligand_as_ref_pos", False)
+        results: List[Dict] = []
+        for group in groups.values():
+            for i in range(0, len(group), batch_size):
+                chunk = group[i : i + batch_size]
+                if len(chunk) > 1:
+                    n_tok = max(len(f["s_mask"]) for f, _ in chunk)
+                    n_atom = max(len(f["a_mask"]) for f, _ in chunk)
+                    padded = []
+                    for f, m in chunk:
+                        f = pad_compact_np(f, n_tok, n_atom)
+                        bm = m.get("batch_msa_feat_c")
+                        if bm is not None:
+                            m["batch_msa_feat_c"] = [
+                                pad_compact_msa_np(x, n_tok) for x in bm
+                            ]
+                        padded.append((f, m))
+                    chunk = padded
+                out_dirs = [
+                    os.path.join(output_root, str(m["system_id"]))
+                    for _, m in chunk
+                ]
+                gt_ligs = None
+                if ablate:
+                    gt_ligs = [
+                        np.asarray(f["x_gt"])[np.asarray(m["ligand_atom_idx"])]
+                        for f, m in chunk
+                    ]
+                res = self._run_group_batched(
+                    chunk,
+                    out_dirs,
+                    remove_ligand=remove_ligand,
+                    smis=[smi] * len(chunk),
+                    write_outputs=write_outputs,
+                    t_start=t_start,
+                    gt_ligs=gt_ligs,
+                )
+                if res is None:  # unbuildable guidance: sequential fallback
+                    for (feats, meta), out_dir in zip(chunk, out_dirs):
+                        results.append(
+                            self._dock_loaded(
+                                (feats, meta),
+                                out_dir,
+                                remove_ligand=remove_ligand,
+                                smi=smi,
+                                write_outputs=write_outputs,
+                                t_start=t_start,
+                            )
+                        )
+                else:
+                    results.extend(res)
         return results
 
     def _dock_loaded(
@@ -677,31 +793,19 @@ class DockingPipeline:
     def _run_ligand_group(
         self, system, group, output_dir, smi_map, write_outputs, t_start
     ) -> List[Dict]:
-        from physdock_tpu.model.forcefield import stack_ligand_ffs
-
-        s = self.s
-        B = len(group)
-        feats_list = [f for _, f, _ in group]
-        metas = [m for _, _, m in group]
-        batch_msa = [
-            m.pop("batch_msa_feat_c", None) or m.pop("batch_msa_feat", None)
-            for m in metas
-        ]
-        lig_idxs = [np.asarray(m["ligand_atom_idx"]) for m in metas]
-        L_max = max(len(ix) for ix in lig_idxs)
-
-        guided = s.enable_physics_correction
-        guidances, conf_banks, ffs = [], [], []
-        if guided:
-            for _, feats, meta in group:
-                g, confs = self._build_guidance(feats, meta, pad_atoms=L_max)
-                if g is None:
-                    guided = False
-                    break
-                guidances.append(g)
-                conf_banks.append(confs)
-                ffs.append(g.ff)
-        if s.enable_physics_correction and not guided:
+        """Screening wrapper over the generic batched group runner."""
+        items = [(f, m) for _, f, m in group]
+        smis = [smi for smi, _, _ in group]
+        out_dirs = [os.path.join(output_dir, smi_map[smi]) for smi in smis]
+        res = self._run_group_batched(
+            items,
+            out_dirs,
+            remove_ligand=True,
+            smis=smis,
+            write_outputs=write_outputs,
+            t_start=t_start,
+        )
+        if res is None:
             # a ligand without buildable guidance: sequential fallback for
             # the whole group (keeps per-ligand protocol semantics exact)
             out: List[Dict] = []
@@ -719,6 +823,59 @@ class DockingPipeline:
                     r = {"smiles": smi, "error": str(e)}
                 out.append(r)
             return out
+        for smi, r in zip(smis, res):
+            r["smiles"] = smi
+        return res
+
+    def _run_group_batched(
+        self,
+        items,
+        out_dirs,
+        *,
+        remove_ligand: bool,
+        smis,
+        write_outputs: bool,
+        t_start: float,
+        gt_ligs=None,
+    ) -> Optional[List[Dict]]:
+        """Run a group of same-shape systems as ONE vmapped device program.
+
+        Shared by batched virtual screening (one receptor, many ligands —
+        SURVEY 2.5 "fleet of independent ligands") and batched redocking
+        (dock_many(batch_size>1) — beyond the reference, which only docks
+        sequentially).  Ligand force fields / conformer banks are padded to
+        common capacities, per-system RoundProtocols run host-side, and
+        pose postprocessing is offloaded to the featurizer worker when one
+        is attached.  Returns None when physics correction is requested but
+        unbuildable for some item (caller falls back to sequential).
+
+        Note: the per-system RNG streams differ from sequential dock()
+        (keys are split per round across the batch), so individual poses
+        differ from a sequential run while the protocol semantics match.
+        """
+        from physdock_tpu.model.forcefield import stack_ligand_ffs
+
+        s = self.s
+        B = len(items)
+        feats_list = [f for f, _ in items]
+        metas = [m for _, m in items]
+        batch_msa = [
+            m.pop("batch_msa_feat_c", None) or m.pop("batch_msa_feat", None)
+            for m in metas
+        ]
+        lig_idxs = [np.asarray(m["ligand_atom_idx"]) for m in metas]
+        L_max = max(max(len(ix) for ix in lig_idxs), 1)
+
+        guided = s.enable_physics_correction
+        guidances, conf_banks, ffs = [], [], []
+        if guided:
+            for feats, meta in items:
+                g, confs = self._build_guidance(feats, meta, pad_atoms=L_max)
+                if g is None:
+                    return None
+                guidances.append(g)
+                conf_banks.append(confs)
+                ffs.append(g.ff)
 
         from physdock_tpu.model.compact import compact_batch_np, compact_msa_np
 
@@ -742,6 +899,7 @@ class DockingPipeline:
                     max_samples=s.max_samples,
                     num_samples_per_round=s.num_samples_per_round,
                     eta_start=s.eta,
+                    gt_ligand=None if gt_ligs is None else gt_ligs[b],
                 )
                 for b in range(B)
             ]
@@ -824,26 +982,39 @@ class DockingPipeline:
             if all(p.done for p in protocols):
                 break
 
+        all_poses = [
+            protocols[b].final_poses() if guided else x[b][: s.max_samples]
+            for b in range(B)
+        ]
+        offload = isinstance(self.featurizer, FeaturizerWorker) and (
+            not s.enable_sidechain_relaxation
+        )
+        posts: List = [None] * B
+        if offload:
+            for b in range(B):
+                self.featurizer.submit_post(
+                    all_poses[b],
+                    self._post_args(
+                        feats_list[b], metas[b], remove_ligand, smis[b]
+                    ),
+                )
+            posts = [self.featurizer.result() for _ in range(B)]
+
         out: List[Dict] = []
-        for b, (smi, feats, meta) in enumerate(group):
-            poses = (
-                protocols[b].final_poses()
-                if guided
-                else x[b][: s.max_samples]
-            )
+        for b, (feats, meta) in enumerate(items):
             r = self._postprocess(
                 feats,
                 meta,
-                poses,
-                os.path.join(output_dir, smi_map[smi]),
-                remove_ligand=True,
-                smi=smi,
+                all_poses[b],
+                out_dirs[b],
+                remove_ligand=remove_ligand,
+                smi=smis[b],
                 rounds_run=rounds_run,
                 t_feat=t_feat,
                 t_start=t_start,
                 write_outputs=write_outputs,
+                post=posts[b],
             )
-            r["smiles"] = smi
             r["vs_batch_size"] = B
             out.append(r)
         return out

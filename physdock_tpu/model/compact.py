@@ -74,6 +74,65 @@ def compact_batch_np(feats: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+# compact transport keys: symbolic axes (S = MSA rows, T = tokens)
+COMPACT_SCHEMA = {
+    "msa_tok_c": ("S", "T"),
+    "msa_del_c": ("S", "T"),
+    "rel_d_tok_c": ("T", "T"),
+    "rel_bond_type_c": ("T", "T"),
+    "rel_as_double_x2_c": ("T", "T"),
+    "rel_flags_c": ("T", "T"),
+    "templ_bins_c": ("T", "T"),
+    "templ_mask_c": ("T", "T"),
+}
+# index compacts pad with -1 (re-expands to all-zero one-hots, matching the
+# fat features' zero padding); value/flag compacts pad with 0
+_NEG_ONE_PAD = {"msa_tok_c", "rel_d_tok_c", "rel_bond_type_c", "templ_bins_c"}
+
+
+def pad_compact_np(
+    c: Dict[str, np.ndarray], n_tok: int, n_atom: int
+) -> Dict[str, np.ndarray]:
+    """Re-pad a compact batch to larger (n_tok, n_atom) bucket sizes.
+
+    Needed when batching systems that landed in different featurizer
+    buckets (infer/pipeline.dock_many batch_size>1): schema keys go through
+    the featurizer's own pad_batch (index fixups included), compact keys
+    are padded with their one-hot-neutral fill."""
+    from physdock_tpu.data.schema import FEATURE_SCHEMA
+    from physdock_tpu.data.synthetic import pad_batch
+
+    base = {k: v for k, v in c.items() if k in FEATURE_SCHEMA}
+    out = pad_batch(base, n_tok, n_atom)
+    for k, v in c.items():
+        if k in FEATURE_SCHEMA:
+            continue
+        v = np.asarray(v)
+        spec = COMPACT_SCHEMA[k]
+        pads = [
+            (0, n_tok - v.shape[i]) if ax == "T" else (0, 0)
+            for i, ax in enumerate(spec)
+        ]
+        fill = -1 if k in _NEG_ONE_PAD else 0
+        out[k] = np.pad(v, pads, constant_values=fill)
+    return out
+
+
+def pad_compact_msa_np(c: Dict[str, np.ndarray], n_tok: int) -> Dict[str, np.ndarray]:
+    """Pad a per-round compact MSA dict's token axis."""
+    return {
+        "msa_tok_c": np.pad(
+            np.asarray(c["msa_tok_c"]),
+            ((0, 0), (0, n_tok - c["msa_tok_c"].shape[1])),
+            constant_values=-1,
+        ),
+        "msa_del_c": np.pad(
+            np.asarray(c["msa_del_c"]),
+            ((0, 0), (0, n_tok - c["msa_del_c"].shape[1])),
+        ),
+    }
+
+
 def _idx_one_hot(idx, n):
     """int index -> one-hot; -1 (or any out-of-range) -> zeros."""
     return jax.nn.one_hot(idx.astype(jnp.int32), n, dtype=jnp.float32)

@@ -209,3 +209,48 @@ def test_large_payload_no_pipe_deadlock(cfg):
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
         worker.stop()
+
+
+def test_dock_many_batched(cfg):
+    """batch_size>1 stacks same-bucket systems into one vmapped program;
+    per-system results must be well-formed and comparable in quality to
+    sequential (RNG streams differ by construction)."""
+    import os
+
+    if not os.path.exists(PKL):
+        pytest.skip("demo assets unavailable")
+    from physdock_tpu.cli.common import load_params
+    from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
+
+    systems = [
+        PKL,
+        "/root/reference/demo/redocking/Posebusters_subset/5SD5_HWI_A_1.pkl.gz",
+    ]
+    kw = dict(
+        msa_features_dir=f"{MSA}/msa_features",
+        uniprot_msa_features_dir=f"{MSA}/uniprot_msa_features",
+        inference_mode=True,
+        seed=0,
+    )
+    params = load_params(None, cfg)
+    settings = SamplerSettings(
+        max_samples=2, num_samples_per_round=2, max_rounds=1, steps=2,
+        enable_physics_correction=True, num_confs=4, enable_ranking=True,
+        seed=0,
+    )
+    worker = FeaturizerWorker(cfg.data, **kw)
+    try:
+        pipe = DockingPipeline(cfg, params, worker, settings)
+        res = pipe.dock_many(
+            systems, "/tmp/dm_batched", write_outputs=False, batch_size=2
+        )
+    finally:
+        worker.stop()
+    assert len(res) == 2
+    ids = {r["system_id"] for r in res}
+    assert ids == {"5SAK_ZRY_A_1", "5SD5_HWI_A_1"}
+    for r in res:
+        assert r["vs_batch_size"] == 2
+        assert r["num_poses"] == 2
+        assert r["top5_rmsd"] is not None
+        assert all(np.isfinite(v) for v in r["top5_rmsd"])
