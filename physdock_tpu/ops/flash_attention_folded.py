@@ -43,6 +43,39 @@ def _pick_bk(s_k: int) -> int:
     raise ValueError(f"s_k={s_k} must be a multiple of 128")
 
 
+def _vmem_cost(bq: int, group: int, s_k: int, hd: int, h: int, itemsize: int) -> int:
+    """Double-buffered VMEM footprint of one grid cell."""
+    bias = 2 * h * bq * s_k * itemsize
+    kv = 2 * 2 * group * s_k * hd * itemsize
+    qo = 2 * 2 * group * bq * hd * itemsize
+    return bias + kv + qo
+
+
+def pick_tiles_folded(
+    n_batch: int, s_q: int, s_k: int, hd: int, h: int, itemsize: int = 2
+):
+    """(bq, group) by on-chip tuning (scripts/folded_tune_tpu.py at B=20,
+    S=2048, bf16: bq256/g2 2.94 ms vs bq128/g4 3.61 ms; larger configs
+    exceed VMEM and fail Mosaic compilation).
+
+    Short sequences (the trunk's S=256 triangle attention) keep the
+    max-group BQ=128 tiling the trunk was measured with (65 ms trunk)."""
+    if s_k < 1024:
+        group = pick_group_size_folded(n_batch, s_k, hd, itemsize)
+        if group and s_q % BQ == 0:
+            return BQ, group
+        return 0, 0
+    for bq, group in ((256, 2), (128, 4), (128, 2), (128, 1)):
+        if (
+            s_q % bq == 0
+            and group <= n_batch
+            and n_batch % group == 0
+            and _vmem_cost(bq, group, s_k, hd, h, itemsize) < 13_500_000
+        ):
+            return bq, group
+    return 0, 0
+
+
 def pick_group_size_folded(n_batch: int, s_k: int, hd: int, itemsize: int = 2) -> int:
     """Largest divisor of n_batch whose folded buffers fit VMEM."""
     bias_cost = 2 * BQ * s_k * itemsize  # per-head bias tile, double-buffered
@@ -63,12 +96,13 @@ def pick_group_size_folded(n_batch: int, s_k: int, hd: int, itemsize: int = 2) -
 def _kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, s_k, bk, group, h, d):
     BK = bk
     hd = h * d
+    bq = q_ref.shape[1]
     num_k = s_k // BK
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1)
 
     def per_sample(s, _):
-        q = q_ref[s].astype(jnp.float32)  # [BQ, HD]
-        o = jnp.zeros((BQ, hd), jnp.float32)
+        q = q_ref[s].astype(jnp.float32)  # [bq, HD]
+        o = jnp.zeros((bq, hd), jnp.float32)
         for hh in range(h):  # static unroll; H is small (4)
             mask = ((lane >= hh * d) & (lane < (hh + 1) * d)).astype(jnp.float32)
 
@@ -95,9 +129,9 @@ def _kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, s_k, bk, group, h, d):
                 )
                 return acc, m_new, l_new
 
-            acc0 = jnp.zeros((BQ, hd), jnp.float32)
-            m0 = jnp.full((BQ, 1), -jnp.inf, jnp.float32)
-            l0 = jnp.zeros((BQ, 1), jnp.float32)
+            acc0 = jnp.zeros((bq, hd), jnp.float32)
+            m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((bq, 1), jnp.float32)
             acc, _, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
             # head hh's lanes are the only nonzero columns of acc
             o = o + acc / l
@@ -108,51 +142,54 @@ def _kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, s_k, bk, group, h, d):
 
 
 def flash_sdpa_folded(
-    q, k, v, bias, n_heads: int, interpret: bool = False
+    q, k, v, bias, n_heads: int, interpret: bool = False,
+    bq: int = BQ, group: int = 0, swap_grid: bool = False,
 ):
     """q, k, v: [B, S, H*D] folded layout; bias: [H, S_q, S_k] shared
-    across B.  Returns [B, S_q, H*D] in q.dtype."""
+    across B.  Returns [B, S_q, H*D] in q.dtype.
+
+    bq/group/swap_grid are tuning knobs (scripts/folded_tune_tpu.py):
+    swap_grid makes the q-tile axis OUTER so the shared bias tile is
+    fetched once per q-tile (k/v then re-fetch per group step); default
+    keeps k/v constant across the inner q-tile axis."""
     n_batch, s_q, hd = q.shape
     s_k = k.shape[-2]
     h = n_heads
     d = hd // h
     assert h * d == hd
     assert bias.shape == (h, s_q, s_k), (bias.shape, (h, s_q, s_k))
-    group = pick_group_size_folded(n_batch, s_k, hd, q.dtype.itemsize)
+    if not group:
+        bq, group = pick_tiles_folded(
+            n_batch, s_q, s_k, hd, h, q.dtype.itemsize
+        )
     if group == 0:
         raise ValueError("no group size fits VMEM")
 
-    grid = (n_batch // group, s_q // BQ)
     bk = _pick_bk(s_k)
     kernel = functools.partial(
         _kernel, scale=1.0 / math.sqrt(d), s_k=s_k, bk=bk, group=group,
         h=h, d=d,
     )
+    if swap_grid:
+        grid = (s_q // bq, n_batch // group)
+        ix_q = lambda i, g: (g, i, 0)
+        ix_kv = lambda i, g: (g, 0, 0)
+        ix_b = lambda i, g: (0, i, 0)
+    else:
+        grid = (n_batch // group, s_q // bq)
+        ix_q = lambda g, i: (g, i, 0)
+        ix_kv = lambda g, i: (g, 0, 0)
+        ix_b = lambda g, i: (0, i, 0)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (group, BQ, hd), lambda g, i: (g, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (group, s_k, hd), lambda g, i: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (group, s_k, hd), lambda g, i: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (h, BQ, s_k), lambda g, i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((group, bq, hd), ix_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s_k, hd), ix_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s_k, hd), ix_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, bq, s_k), ix_b, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (group, BQ, hd), lambda g, i: (g, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec((group, bq, hd), ix_q, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_batch, s_q, hd), q.dtype),
         interpret=interpret,
     )(q, k, v, bias)
