@@ -48,6 +48,10 @@ class RestraintSet:
     rep_pairs: np.ndarray  # [R, 2]
     rep_dist: np.ndarray  # [R]
     chiral: List[Tuple[int, Tuple[int, int, int, int], float]]  # (centre, nbrs, sign)
+    # (a, centre, b, ideal_angle_rad) triples — populated alongside the 1-3
+    # distance restraints; consumed by infer/relax.check_pose's bond-angle
+    # criterion (PoseBusters checks angles, not 1-3 distances)
+    angles: Optional[List[Tuple[int, int, int, float]]] = None
 
 
 def build_restraints(mol: Molecule, chiral_signs=None) -> RestraintSet:
@@ -58,6 +62,7 @@ def build_restraints(mol: Molecule, chiral_signs=None) -> RestraintSet:
     ring_sets = [set(r) for r in mol.rings()]
 
     pairs, targets, weights = [], [], []
+    angles: List[Tuple[int, int, int, float]] = []
     seen = set()
 
     def add(i, j, r0, w):
@@ -101,6 +106,7 @@ def build_restraints(mol: Molecule, chiral_signs=None) -> RestraintSet:
                 ra, rb = bond_len[(c, a)], bond_len[(c, b)]
                 d13 = math.sqrt(ra**2 + rb**2 - 2 * ra * rb * math.cos(ang))
                 add(a, b, d13, 8.0)
+                angles.append((a, c, b, ang))
 
     # planarity of aromatic/small rings: cross-ring distances of the regular
     # polygon with the mean bond length
@@ -165,6 +171,7 @@ def build_restraints(mol: Molecule, chiral_signs=None) -> RestraintSet:
         rep_pairs=np.array(rep_pairs or [(0, 0)], np.int32),
         rep_dist=np.array(rep_dist or [0.0], np.float32),
         chiral=chiral,
+        angles=angles,
     )
 
 

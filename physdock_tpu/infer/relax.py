@@ -162,6 +162,41 @@ def check_pose(
     else:
         out["no_receptor_clash"] = True
 
+    # bond angles: PoseBusters bounds each angle within [0.75, 1.25] x the
+    # ideal value; the restraint builder records (a, centre, b, theta0)
+    # from hybridization/ring membership
+    from physdock_tpu.data.embed import build_restraints
+
+    rs = build_restraints(mol)
+    angle_ok = True
+    for a, c, b, theta0 in rs.angles or []:
+        va, vb = lig[a] - lig[c], lig[b] - lig[c]
+        cosv = np.dot(va, vb) / (
+            np.linalg.norm(va) * np.linalg.norm(vb) + 1e-9
+        )
+        theta = float(np.arccos(np.clip(cosv, -1.0, 1.0)))
+        if not (0.75 * theta0 <= theta <= 1.25 * theta0):
+            angle_ok = False
+            break
+    out["bond_angles_ok"] = bool(angle_ok)
+
+    # E/Z double-bond stereo preserved (PoseBusters checks stereochemistry
+    # beyond tetrahedral centres): the a-i-j-b dihedral must stay on the
+    # annotated side (trans |phi| > 90 deg, cis < 90)
+    ez_ok = True
+    for a, bi, bj, b, is_trans in getattr(mol, "stereo_bonds", None) or []:
+        b1 = lig[bi] - lig[a]
+        b2 = lig[bj] - lig[bi]
+        b3 = lig[b] - lig[bj]
+        n1 = np.cross(b1, b2)
+        n2 = np.cross(b2, b3)
+        cosphi = np.dot(n1, n2) / (
+            np.linalg.norm(n1) * np.linalg.norm(n2) + 1e-9
+        )
+        if (cosphi < 0) != bool(is_trans):
+            ez_ok = False
+    out["stereo_ez_ok"] = bool(ez_ok)
+
     # aromatic ring flatness (PoseBusters threshold 0.25 A out-of-plane)
     arom = mol.aromatic_atoms()
     flat = True

@@ -116,3 +116,38 @@ def test_relax_complex_reduces_ligand_strain():
         )
 
     assert strain(relaxed) < strain(distorted) * 0.6
+
+
+def test_check_pose_angles_and_ez_stereo():
+    """bond_angles_ok flags distorted angles; stereo_ez_ok flags an E/Z
+    flip of a directional double bond (PoseBusters checks both)."""
+    import numpy as np
+
+    from physdock_tpu.data.smiles import mol_from_smiles
+    from physdock_tpu.infer.relax import check_pose
+
+    # trans-2-butene: C/C=C/C
+    mol = mol_from_smiles("C/C=C/C")
+    meta = {"ref_mol": mol, "ligand_atom_idx": np.arange(mol.num_atoms)}
+    res = check_pose(mol.coords, meta)
+    assert res["bond_angles_ok"]
+    assert res["stereo_ez_ok"]
+
+    # flip to cis by reflecting one terminal methyl across the C=C axis:
+    # rotate atom b around the double bond by 180 degrees
+    (a, bi, bj, b, is_trans) = mol.stereo_bonds[0]
+    assert is_trans
+    x = mol.coords.copy()
+    axis = x[bj] - x[bi]
+    axis = axis / np.linalg.norm(axis)
+    v = x[b] - x[bj]
+    # Rodrigues 180-degree rotation about the bond axis
+    x[b] = x[bj] + 2 * axis * np.dot(axis, v) - v
+    res_flip = check_pose(x, meta)
+    assert not res_flip["stereo_ez_ok"]
+
+    # squash an angle: move a methyl carbon onto the line of its neighbour
+    bad = mol.coords.copy()
+    bad[a] = bad[bi] + (bad[bi] - bad[bj])  # collinear -> 180-deg angle
+    res_bad = check_pose(bad, meta)
+    assert not res_bad["bond_angles_ok"]
