@@ -67,6 +67,19 @@ def main(argv=None):
             todo = []
         except Exception as e:
             print(f"[dock_many failed: {e}; falling back to sequential]")
+            # dock_many may have died with load/post responses still queued
+            # in the worker pipe; the request-id protocol would catch the
+            # desync, but the fallback needs a clean worker to proceed
+            if hasattr(pipe.featurizer, "respawn"):
+                pipe.featurizer.respawn()
+            todo = [
+                s for s in todo
+                if not os.path.exists(os.path.join(
+                    args.output_dir,
+                    os.path.basename(s).replace(".pkl.gz", ""),
+                    "top5_rmsd.json",
+                ))
+            ]
     for sys_pkl in todo:
         name = os.path.basename(sys_pkl).replace(".pkl.gz", "")
         out = os.path.join(args.output_dir, name)

@@ -15,10 +15,16 @@ Why a subprocess (two independent reasons):
     The worker strips the sitecustomize path so featurization runs at
     clean-process speed.
 
-Protocol: length-prefixed pickles over stdin/stdout.  Requests:
+Protocol: length-prefixed pickles over stdin/stdout.  Every work request
+carries a monotonically increasing request id which the worker echoes in
+the response; `result()` asserts the echoed id matches the oldest
+outstanding submission, so a half-drained queue (e.g. after a dock_many
+failure mid-loop) can never silently pair a response with the wrong
+system.  Requests:
   ("init", data_cfg, featurizer_kwargs)          -> "ready"
-  ("load", system, load_kwargs, num_confs|None, conf_seed, compact)
-      -> ("ok", (feats, meta, confs|None)) | ("err", traceback_str)
+  ("load", rid, system, load_kwargs, num_confs|None, conf_seed, compact)
+      -> ("ok", rid, (feats, meta, confs|None)) | ("err", rid, traceback)
+  ("post", rid, poses, args)                     -> same envelope
   ("stop",)                                      -> process exits
 
 With compact=True the worker ships the int8 transport form
@@ -40,6 +46,7 @@ import subprocess
 import sys
 import threading
 import traceback
+from collections import deque
 from typing import Optional
 
 
@@ -68,6 +75,15 @@ class FeaturizerWorker:
     conformer bank precomputed when `num_confs` is given."""
 
     def __init__(self, data_cfg, **featurizer_kwargs):
+        self._ctor = (data_cfg, featurizer_kwargs)
+        self._spawn()
+        # mirrored for pipeline attribute checks
+        self.use_x_gt_ligand_as_ref_pos = bool(
+            featurizer_kwargs.get("use_x_gt_ligand_as_ref_pos", False)
+        )
+
+    def _spawn(self) -> None:
+        data_cfg, featurizer_kwargs = self._ctor
         env = dict(os.environ)
         pkg_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -87,6 +103,8 @@ class FeaturizerWorker:
             env=env,
         )
         self._alive = True
+        self._next_id = 0
+        self._pending: "deque[int]" = deque()  # rids submitted, not drained
         # all requests go through a writer thread: a large request (e.g. the
         # ~1 MB pose array of submit_post) would otherwise block the caller
         # on the 64 KB stdin pipe while the worker is itself blocked writing
@@ -97,10 +115,21 @@ class FeaturizerWorker:
         self._enqueue(("init", data_cfg, featurizer_kwargs))
         ready = _recv(self.proc.stdout)
         assert ready == "ready", ready
-        # mirrored for pipeline attribute checks
-        self.use_x_gt_ligand_as_ref_pos = bool(
-            featurizer_kwargs.get("use_x_gt_ligand_as_ref_pos", False)
-        )
+
+    def respawn(self) -> None:
+        """Tear down and restart the worker, discarding any undrained
+        responses.  Callers that abandon queued work mid-protocol (e.g. a
+        dock_many failure before all results were drained) MUST respawn
+        before reusing the worker, or the next result() would raise a
+        request-id mismatch."""
+        self._alive = False
+        try:
+            self._wq.put(None)
+            self.proc.kill()
+            self.proc.wait(timeout=10)
+        except Exception:
+            pass
+        self._spawn()
 
     def _write_loop(self) -> None:
         while True:
@@ -122,27 +151,64 @@ class FeaturizerWorker:
         conf_seed: int = 0,
         compact: bool = False,
         **kw,
-    ) -> None:
+    ) -> int:
         """Queue a load; the worker computes it while the caller does device
         work (prefetch).  Results come back in submission order via
-        `result()`."""
-        self._enqueue(("load", system, kw, num_confs, conf_seed, compact))
+        `result()`.  Returns the request id."""
+        rid = self._next_id
+        self._next_id += 1
+        self._pending.append(rid)
+        self._enqueue(("load", rid, system, kw, num_confs, conf_seed, compact))
+        return rid
 
-    def result(self):
-        status, payload = _recv(self.proc.stdout)
-        if status != "ok":
-            raise RuntimeError(f"featurizer worker failed:\n{payload}")
-        return payload  # (feats, meta, confs | None)
+    def result(self, expect: Optional[int] = None):
+        """Drain the next response.  `expect` pins the response to a specific
+        submit()'s request id; responses for older (abandoned) requests are
+        discarded, so a caller that lost track of queued work mid-failure can
+        still pair load/result correctly.  Without `expect`, the oldest
+        outstanding request is assumed (strict FIFO drain)."""
+        if not self._pending:
+            raise RuntimeError("featurizer worker: result() with no pending request")
+        if expect is None:
+            expect = self._pending[0]
+        if expect not in self._pending:
+            raise RuntimeError(
+                f"featurizer worker: request {expect} already drained"
+            )
+        while True:
+            status, rid, payload = _recv(self.proc.stdout)
+            if rid not in self._pending:
+                raise RuntimeError(
+                    f"featurizer worker protocol desync: response {rid} "
+                    f"was never pending"
+                )
+            if rid < expect:
+                self._pending.remove(rid)  # stale abandoned request
+                continue
+            if rid > expect:
+                raise RuntimeError(
+                    f"featurizer worker protocol desync: expected response "
+                    f"{expect}, got {rid}"
+                )
+            self._pending.remove(rid)
+            if status != "ok":
+                raise RuntimeError(f"featurizer worker failed:\n{payload}")
+            return payload  # (feats, meta, confs | None)
 
     def load(self, system, **kw):
-        self.submit(system, **kw)
-        return self.result()
+        rid = self.submit(system, **kw)
+        return self.result(rid)
 
-    def submit_post(self, poses, args: dict) -> None:
+    def submit_post(self, poses, args: dict) -> int:
         """Queue pose postprocessing (align/rank/score — pure numpy) in the
         worker.  FIFO with loads: dock_many queues all loads first, so load
-        responses drain during the dock loop and post responses after it."""
-        self._enqueue(("post", poses, args))
+        responses drain during the dock loop and post responses after it.
+        Returns the request id."""
+        rid = self._next_id
+        self._next_id += 1
+        self._pending.append(rid)
+        self._enqueue(("post", rid, poses, args))
+        return rid
 
     def stop(self) -> None:
         if self._alive:
@@ -184,17 +250,17 @@ def _serve() -> None:
             _send(out, "ready")
             continue
         if msg[0] == "post":
-            _, poses, args = msg
+            _, rid, poses, args = msg
             try:
                 from physdock_tpu.infer.ranking import postprocess_poses
 
                 x_gt = args.pop("x_gt")
-                _send(out, ("ok", postprocess_poses(poses, x_gt, **args)))
+                _send(out, ("ok", rid, postprocess_poses(poses, x_gt, **args)))
             except Exception:
-                _send(out, ("err", traceback.format_exc()))
+                _send(out, ("err", rid, traceback.format_exc()))
             continue
         if msg[0] == "load":
-            _, system, kw, num_confs, conf_seed, compact = msg
+            _, rid, system, kw, num_confs, conf_seed, compact = msg
             import time as _time
 
             _t0 = _time.perf_counter()
@@ -226,9 +292,9 @@ def _serve() -> None:
                         rng=np.random.default_rng(conf_seed),
                     )
                 meta["_worker_time_s"] = round(_time.perf_counter() - _t0, 3)
-                _send(out, ("ok", (feats, meta, confs)))
+                _send(out, ("ok", rid, (feats, meta, confs)))
             except Exception:
-                _send(out, ("err", traceback.format_exc()))
+                _send(out, ("err", rid, traceback.format_exc()))
 
 
 if __name__ == "__main__":

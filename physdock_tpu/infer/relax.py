@@ -54,13 +54,8 @@ def relax_complex(
     shell = np.zeros(len(x), bool)
     shell[~is_lig] = d_min < 8.0
 
-    bonds = [(int(i), int(j), ideal_bond_length(
-        int(mol.atomic_numbers[i]), int(mol.atomic_numbers[j]), o))
-        for i, j, o in mol.bonds]
-    # 1-3 targets from current ligand geometry's molecular graph ideal
-    from physdock_tpu.data.embed import build_restraints
-
-    rs = build_restraints(mol)
+    # ligand restraint set (bond/1-3/rigid-1-4 targets) — per-molecule, cached
+    rs = _cached_restraints(mol)
     zl = mol.atomic_numbers
 
     lr = 5e-3
@@ -98,15 +93,60 @@ def relax_complex(
     return x.astype(np.float32)
 
 
+def _cached_restraints(mol: Molecule):
+    """RestraintSet for `mol`, computed once and stashed on the object
+    (rings/hybridization/angle targets are per-molecule, not per-pose)."""
+    rs = getattr(mol, "_restraints_cache", None)
+    if rs is None:
+        from physdock_tpu.data.embed import build_restraints
+
+        rs = build_restraints(mol)
+        try:
+            mol._restraints_cache = rs
+        except Exception:  # frozen/slotted object: recompute next time
+            pass
+    return rs
+
+
+def _graph_distances(mol: Molecule) -> np.ndarray:
+    """All-pairs bond-graph distances, cached on the molecule."""
+    gd = getattr(mol, "_graph_dist_cache", None)
+    if gd is None:
+        gd = mol.shortest_path_matrix(cap=30)
+        try:
+            mol._graph_dist_cache = gd
+        except Exception:
+            pass
+    return gd
+
+
+def _receptor_vdw(names) -> np.ndarray:
+    """Per-atom vdW radii for receptor atoms from PDB atom names (heavy
+    atoms only; protein context, so 'CA' is carbon-alpha not calcium)."""
+    radii = np.empty(len(names), np.float64)
+    for i, nm in enumerate(names):
+        c = nm.strip()[:1].upper()
+        radii[i] = {"C": 1.7, "N": 1.55, "O": 1.52, "S": 1.8, "P": 1.8}.get(c, 1.7)
+    return radii
+
+
 def check_pose(
     x_pred: np.ndarray,
     meta: Dict,
     bond_tol: float = 0.25,
     clash_factor: float = 0.7,
-) -> Dict[str, bool]:
-    """PoseBusters-style validity subset: ligand bond lengths within
-    tolerance, no internal ligand clashes, no severe receptor clashes,
-    chirality preserved."""
+) -> Dict:
+    """PoseBusters-style validity checks (reference: data/relaxation.py:29-50
+    shells out to the PoseBusters package; here the checks are native).
+
+    Thresholds follow PoseBusters semantics: bond lengths/angles within
+    [0.75, 1.25] x ideal; internal steric clash when non-bonded atoms (>= 3
+    bonds apart) come closer than 0.7 x their vdW contact distance (1-4
+    pairs get a looser 0.55 x bound — distance-geometry lower bounds allow
+    short cis-torsion contacts); receptor clash when a ligand-receptor pair
+    is closer than 0.75 x vdW contact; aromatic/double-bond flatness within
+    0.25 A.  Each check reports a violation COUNT alongside its boolean.
+    """
     mol: Optional[Molecule] = meta.get("ref_mol")
     lig_idx = np.asarray(meta["ligand_atom_idx"])
     out = {"has_ligand": mol is not None and len(lig_idx) == getattr(mol, "num_atoms", -1)}
@@ -114,61 +154,61 @@ def check_pose(
         return out
     lig = np.asarray(x_pred)[lig_idx]
     z = mol.atomic_numbers
+    n = mol.num_atoms
 
-    bond_ok = True
+    n_bond_viol = 0
     for i, j, o in mol.bonds:
         d = np.linalg.norm(lig[i] - lig[j])
         r0 = ideal_bond_length(int(z[i]), int(z[j]), o)
         if abs(d - r0) > bond_tol * r0:
-            bond_ok = False
-            break
-    out["bond_lengths_ok"] = bond_ok
+            n_bond_viol += 1
+    out["num_bond_violations"] = n_bond_viol
+    out["bond_lengths_ok"] = n_bond_viol == 0
 
-    # internal clash: non-bonded pairs closer than 0.7 * vdW contact
-    n = mol.num_atoms
-    bonded = {(min(i, j), max(i, j)) for i, j, _ in mol.bonds}
-    adj = mol.adjacency
-    for c in range(n):
-        for a in adj[c]:
-            for b in adj[c]:
-                if a < b:
-                    bonded.add((a, b))
-    clash = False
-    for i in range(n):
-        for j in range(i + 1, n):
-            if (i, j) in bonded:
-                continue
-            d = np.linalg.norm(lig[i] - lig[j])
-            rmin = clash_factor * (
-                _VDW.get(int(z[i]), 1.7) + _VDW.get(int(z[j]), 1.7)
-            ) / 2 * 2
-            if d < rmin * 0.5:
-                clash = True
-    out["no_internal_clash"] = not clash
+    # internal steric clash over the bond graph: pairs >= 3 bonds apart at
+    # 0.7 x vdW contact, 1-4 pairs at 0.55 x (never the old vacuous 0.35 x)
+    gd = _graph_distances(mol)
+    vdw = np.array([_VDW.get(int(zz), 1.7) for zz in z])
+    dmat = np.linalg.norm(lig[:, None] - lig[None], axis=-1)
+    contact = vdw[:, None] + vdw[None, :]
+    iu = np.triu_indices(n, k=1)
+    sep = gd[iu]
+    factor = np.where(sep == 3, 0.55, clash_factor)
+    clash_pairs = (sep >= 3) & (dmat[iu] < factor * contact[iu])
+    out["num_internal_clashes"] = int(np.sum(clash_pairs))
+    out["no_internal_clash"] = out["num_internal_clashes"] == 0
 
-    rec = np.asarray(x_pred)[[i for i in range(len(x_pred)) if i not in set(lig_idx.tolist())]]
+    rec_sel = np.setdiff1d(np.arange(len(x_pred)), lig_idx)
+    rec = np.asarray(x_pred)[rec_sel]
     if len(rec):
         d_lr = np.linalg.norm(lig[:, None] - rec[None], axis=-1)
         dmin = float(np.min(d_lr))
-        out["no_receptor_clash"] = bool(dmin > 1.2)
-        # PoseBusters minimum_distance_to_protein: the ligand must touch
-        # the receptor (not float away) ...
+        names = meta.get("atom_names")
+        if names is not None:
+            rvdw = _receptor_vdw([names[i] for i in rec_sel])
+        else:
+            rvdw = np.full(len(rec), 1.7)
+        pair_contact = vdw[:, None] + rvdw[None, :]
+        # PoseBusters minimum_distance_to_protein: no ligand-receptor pair
+        # inside 0.75 x vdW contact
+        out["num_receptor_clashes"] = int(np.sum(d_lr < 0.75 * pair_contact))
+        out["no_receptor_clash"] = out["num_receptor_clashes"] == 0
+        # the ligand must touch the receptor (not float away) ...
         out["near_protein_ok"] = bool(dmin < 5.0)
         # ... and volume_overlap_with_protein <= 7.5% (approximated by the
-        # fraction of ligand atoms buried inside a receptor atom's 0.8 x
-        # vdW-contact shell)
-        buried = float(np.mean(np.min(d_lr, axis=1) < 0.8 * 1.7))
+        # fraction of ligand atoms buried inside a receptor atom's 0.5 x
+        # vdW-contact shell — deep burial, i.e. genuine volume overlap)
+        buried = float(np.mean(np.min(d_lr / pair_contact, axis=1) < 0.5))
         out["volume_overlap_ok"] = bool(buried <= 0.075)
     else:
+        out["num_receptor_clashes"] = 0
         out["no_receptor_clash"] = True
 
     # bond angles: PoseBusters bounds each angle within [0.75, 1.25] x the
     # ideal value; the restraint builder records (a, centre, b, theta0)
     # from hybridization/ring membership
-    from physdock_tpu.data.embed import build_restraints
-
-    rs = build_restraints(mol)
-    angle_ok = True
+    rs = _cached_restraints(mol)
+    n_angle_viol = 0
     for a, c, b, theta0 in rs.angles or []:
         va, vb = lig[a] - lig[c], lig[b] - lig[c]
         cosv = np.dot(va, vb) / (
@@ -176,14 +216,14 @@ def check_pose(
         )
         theta = float(np.arccos(np.clip(cosv, -1.0, 1.0)))
         if not (0.75 * theta0 <= theta <= 1.25 * theta0):
-            angle_ok = False
-            break
-    out["bond_angles_ok"] = bool(angle_ok)
+            n_angle_viol += 1
+    out["num_angle_violations"] = n_angle_viol
+    out["bond_angles_ok"] = n_angle_viol == 0
 
     # E/Z double-bond stereo preserved (PoseBusters checks stereochemistry
     # beyond tetrahedral centres): the a-i-j-b dihedral must stay on the
     # annotated side (trans |phi| > 90 deg, cis < 90)
-    ez_ok = True
+    n_ez_viol = 0
     for a, bi, bj, b, is_trans in getattr(mol, "stereo_bonds", None) or []:
         b1 = lig[bi] - lig[a]
         b2 = lig[bj] - lig[bi]
@@ -194,24 +234,26 @@ def check_pose(
             np.linalg.norm(n1) * np.linalg.norm(n2) + 1e-9
         )
         if (cosphi < 0) != bool(is_trans):
-            ez_ok = False
-    out["stereo_ez_ok"] = bool(ez_ok)
+            n_ez_viol += 1
+    out["num_stereo_violations"] = n_ez_viol
+    out["stereo_ez_ok"] = n_ez_viol == 0
 
     # aromatic ring flatness (PoseBusters threshold 0.25 A out-of-plane)
     arom = mol.aromatic_atoms()
-    flat = True
+    n_flat_viol = 0
     for ring in mol.rings():
         if len(ring) < 5 or not all(arom[a] for a in ring):
             continue
         pts = lig[ring] - lig[ring].mean(0)
         dev = np.linalg.svd(pts, compute_uv=False)[-1] / np.sqrt(len(ring))
         if dev > 0.25:
-            flat = False
-    out["aromatic_flatness_ok"] = flat
+            n_flat_viol += 1
+    out["num_aromatic_flatness_violations"] = n_flat_viol
+    out["aromatic_flatness_ok"] = n_flat_viol == 0
 
     # double-bond flatness: the sp2 fragment (both atoms + their
     # neighbours) stays planar within 0.25 A
-    db_flat = True
+    n_db_viol = 0
     adj_l = mol.adjacency
     for i, j, o in mol.bonds:
         if o != 2.0 or arom[i] or arom[j]:
@@ -222,8 +264,9 @@ def check_pose(
         pts = lig[frag] - lig[frag].mean(0)
         dev = np.linalg.svd(pts, compute_uv=False)[-1] / np.sqrt(len(frag))
         if dev > 0.25:
-            db_flat = False
-    out["double_bond_flatness_ok"] = db_flat
+            n_db_viol += 1
+    out["num_double_bond_flatness_violations"] = n_db_viol
+    out["double_bond_flatness_ok"] = n_db_viol == 0
 
     try:
         import jax.numpy as jnp

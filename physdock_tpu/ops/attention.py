@@ -136,8 +136,11 @@ def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
                 # 32->128 lane padding; measured 3.75 ms vs grouped 4.61 ms
                 # vs XLA 11.6 ms at B=20,S=2048), else sample-grouped
                 if b.ndim == 3 and q.ndim == 4 and q.shape[0] > 1:
+                    # gate with the SAME tile picker the kernel will use at
+                    # trace time, so gate-admitted shapes can never raise
+                    # "no group size fits VMEM" inside the kernel
                     from physdock_tpu.ops.flash_attention_folded import (
-                        pick_group_size_folded,
+                        pick_tiles_folded,
                     )
                     from physdock_tpu.ops.flash_attention_grouped import (
                         pick_group_size,
@@ -146,9 +149,9 @@ def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
                     h = q.shape[1]
                     if (
                         h * d == 128
-                        and pick_group_size_folded(
-                            q.shape[0], s_k, h * d, q.dtype.itemsize
-                        )
+                        and pick_tiles_folded(
+                            q.shape[0], s_q, s_k, h * d, h, q.dtype.itemsize
+                        )[1]
                         >= 1
                     ):
                         return _folded_diff(q, k, v, b)

@@ -33,7 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BQ = 128
-_VMEM_BUDGET = 10_000_000
+# single VMEM budget shared by the dispatcher gate and the runtime tile
+# picker (ADVICE r2: two different cost models made flash_sdpa_folded raise
+# "no group size fits VMEM" at trace time for shapes the gate admitted)
+_VMEM_BUDGET = 13_500_000
 
 
 def _pick_bk(s_k: int) -> int:
@@ -61,7 +64,7 @@ def pick_tiles_folded(
     Short sequences (the trunk's S=256 triangle attention) keep the
     max-group BQ=128 tiling the trunk was measured with (65 ms trunk)."""
     if s_k < 1024:
-        group = pick_group_size_folded(n_batch, s_k, hd, itemsize)
+        group = pick_group_size_folded(n_batch, s_k, hd, h, itemsize)
         if group and s_q % BQ == 0:
             return BQ, group
         return 0, 0
@@ -70,25 +73,21 @@ def pick_tiles_folded(
             s_q % bq == 0
             and group <= n_batch
             and n_batch % group == 0
-            and _vmem_cost(bq, group, s_k, hd, h, itemsize) < 13_500_000
+            and _vmem_cost(bq, group, s_k, hd, h, itemsize) < _VMEM_BUDGET
         ):
             return bq, group
     return 0, 0
 
 
-def pick_group_size_folded(n_batch: int, s_k: int, hd: int, itemsize: int = 2) -> int:
-    """Largest divisor of n_batch whose folded buffers fit VMEM."""
-    bias_cost = 2 * BQ * s_k * itemsize  # per-head bias tile, double-buffered
-
-    def cost(g):
-        kv = 2 * 2 * g * s_k * hd * itemsize
-        qo = 2 * 2 * g * BQ * hd * itemsize
-        return kv + qo + bias_cost
-
+def pick_group_size_folded(
+    n_batch: int, s_k: int, hd: int, h: int, itemsize: int = 2
+) -> int:
+    """Largest divisor of n_batch whose folded buffers fit VMEM (same
+    `_vmem_cost` model and budget as `pick_tiles_folded`)."""
     for g in sorted(
         {x for x in range(1, n_batch + 1) if n_batch % x == 0}, reverse=True
     ):
-        if cost(g) < _VMEM_BUDGET:
+        if _vmem_cost(BQ, g, s_k, hd, h, itemsize) < _VMEM_BUDGET:
             return g
     return 0
 

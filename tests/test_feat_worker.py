@@ -167,6 +167,38 @@ def test_dock_many_prefetch_matches_sequential(cfg):
         )
 
 
+def test_abandoned_request_never_pairs_with_wrong_system(cfg):
+    """Regression (ADVICE r2): a queued-but-undrained response must never be
+    returned as the result of a LATER request.  load() pins its request id,
+    so stale responses are discarded, and respawn() gives a clean slate."""
+    import os
+
+    if not os.path.exists(PKL):
+        pytest.skip("demo assets unavailable")
+    PKL2 = "/root/reference/demo/redocking/Posebusters_subset/5SD5_HWI_A_1.pkl.gz"
+    kw = dict(
+        msa_features_dir=f"{MSA}/msa_features",
+        uniprot_msa_features_dir=f"{MSA}/uniprot_msa_features",
+        inference_mode=True,
+        seed=0,
+    )
+    worker = FeaturizerWorker(cfg.data, **kw)
+    try:
+        # simulate dock_many dying after queueing a load it never drains
+        worker.submit(PKL, num_msa_rounds=1)
+        # sequential-fallback-style load of a DIFFERENT system
+        f, m, _ = worker.load(PKL2, num_msa_rounds=1)
+        assert m["system_id"] == "5SD5_HWI_A_1"
+
+        # same scenario through respawn(): clean process, ids reset
+        worker.submit(PKL, num_msa_rounds=1)
+        worker.respawn()
+        f, m, _ = worker.load(PKL2, num_msa_rounds=1)
+        assert m["system_id"] == "5SD5_HWI_A_1"
+    finally:
+        worker.stop()
+
+
 def test_large_payload_no_pipe_deadlock(cfg):
     """Multiple >1 MB requests queued without draining must not deadlock.
 
