@@ -31,9 +31,58 @@ DEMO_DIR = "/root/reference/demo/redocking/Posebusters_subset"
 DEMO_MSA = "/root/reference/demo/redocking/features"
 
 
+def _analytic_flops(model_name, crop, atom_crop, steps, nspr):
+    """FLOPs per (system, round) via XLA HLO cost analysis, computed in a
+    clean CPU subprocess (tracing medium is host-heavy; the PJRT client
+    multiplies host wall time in this process) and disk-cached."""
+    import hashlib
+    import subprocess
+    import sys
+
+    import physdock_tpu.utils.flops as _fl
+
+    key = (
+        f"{model_name}-{crop}-{atom_crop}-{steps}-{nspr}"
+        f"-{os.path.getmtime(_fl.__file__)}"
+    )
+    cdir = "/tmp/physdock_featcache"
+    os.makedirs(cdir, exist_ok=True)
+    cpath = os.path.join(
+        cdir, "flops_" + hashlib.md5(key.encode()).hexdigest() + ".json"
+    )
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            return json.load(f)
+    env = dict(os.environ)
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    paths = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([pkg_root] + paths)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(pkg_root, "scripts/flops_count.py"),
+             model_name, str(crop), str(atom_crop), str(steps), str(nspr)],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        data = json.loads(out.stdout.strip().splitlines()[-1])
+        with open(cpath, "w") as f:
+            json.dump(data, f)
+        return data
+    except Exception as e:
+        print(f"flops count unavailable: {e}", file=__import__("sys").stderr)
+        return None
+
+
 def main():
     import jax
 
+    from physdock_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
 
@@ -68,7 +117,9 @@ def main():
         # (measured; see data/feat_worker.py)
         from physdock_tpu.data.feat_worker import FeaturizerWorker
 
-        featurizer = FeaturizerWorker(cfg.data, **fz_kwargs)
+        featurizer = FeaturizerWorker(
+            cfg.data, cache_dir="/tmp/physdock_featcache", **fz_kwargs
+        )
     else:
         featurizer = SystemFeaturizer(cfg.data, **fz_kwargs)
     params = load_params(None, cfg)
@@ -128,6 +179,25 @@ def main():
     poses_sampled = nspr * sum(r["rounds"] for r in res_list)
     poses_per_sec = poses_sampled / dt
     baseline = TARGET_MULTIPLIER * ASSUMED_A100_POSES_PER_SEC
+
+    # MFU: analytic model FLOPs (XLA HLO cost analysis with unrolled
+    # scans, utils/flops.py) over the measured wall time, against the
+    # chip's bf16 dense peak.  This is the honest single-chip number —
+    # vs_baseline stays an ASSUMED comparison (reference publishes none).
+    from physdock_tpu.utils.flops import peak_flops_for
+
+    fdata = _analytic_flops(model_name, crop, atom_crop, steps, nspr)
+    mfu = None
+    achieved_tflops = None
+    device_kind = jax.devices()[0].device_kind
+    if fdata:
+        total_flops = fdata["flops_per_system_round"] * sum(
+            r["rounds"] for r in res_list
+        )
+        achieved_tflops = total_flops / dt / 1e12
+        peak = peak_flops_for(device_kind)
+        if peak:
+            mfu = total_flops / dt / peak
     print(
         json.dumps(
             {
@@ -138,10 +208,21 @@ def main():
                 ),
                 "value": round(poses_per_sec, 4),
                 "unit": "poses/s",
+                "mfu": round(mfu, 5) if mfu is not None else None,
+                "achieved_tflops": (
+                    round(achieved_tflops, 4)
+                    if achieved_tflops is not None
+                    else None
+                ),
+                "device_kind": device_kind,
+                "flops_per_system_round": (
+                    fdata["flops_per_system_round"] if fdata else None
+                ),
                 "vs_baseline": round(poses_per_sec / baseline, 3),
                 "baseline_note": (
                     "denominator is an ASSUMED A100 0.02 poses/s x5 target; "
-                    "the reference publishes no throughput (SURVEY paragraph 6)"
+                    "the reference publishes no throughput (SURVEY paragraph "
+                    "6); judge single-chip perf by mfu/achieved_tflops"
                 ),
                 "feat_time_s": res["feat_time_s"],
                 "dock_time_s": round(dt, 3),

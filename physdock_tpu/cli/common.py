@@ -43,6 +43,10 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--enable_sidechain_relaxation", action="store_true")
     p.add_argument("--align_mode", default="pocket_ca")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--feat_cache_dir", default=None,
+                   help="disk-cache featurized systems here (keyed by "
+                        "system content hash + config; worker featurizer "
+                        "only) — warm loads become a ~0.1 s pkl read")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ebable_x_gt_ligand_as_ref_pos", action="store_true",
                    help="GT-conformer ablation (reference redocking.py:79-82)")
@@ -53,6 +57,11 @@ def build_pipeline(args):
     from physdock_tpu.data.feature_loader import SystemFeaturizer
     from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
     from physdock_tpu.model.physdock import PhysDock
+    from physdock_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    # no-crop bucket ladders cost ~56 compiles; a persistent cache makes
+    # the second process pay ~0 compile time (NOTES_ROUND2.md item 5)
+    enable_compile_cache()
 
     cfg = PhysDockConfig.named(
         args.model_name,
@@ -87,7 +96,10 @@ def build_pipeline(args):
         # host featurization wall time)
         from physdock_tpu.data.feat_worker import FeaturizerWorker
 
-        featurizer = FeaturizerWorker(cfg.data, **fz_kwargs)
+        featurizer = FeaturizerWorker(
+            cfg.data, cache_dir=getattr(args, "feat_cache_dir", None),
+            **fz_kwargs,
+        )
     else:
         featurizer = SystemFeaturizer(cfg.data, **fz_kwargs)
     params = load_params(args.params, cfg)

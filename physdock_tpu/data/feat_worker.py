@@ -228,6 +228,30 @@ class FeaturizerWorker:
             pass
 
 
+def _cache_key(data_cfg, fz_kwargs, system, kw, num_confs, conf_seed, compact):
+    """Disk-cache key for a featurized system: config + load kwargs + the
+    system file's content hash + the featurizer code's mtimes (so code
+    changes invalidate stale entries automatically)."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(repr(data_cfg).encode())
+    h.update(repr(sorted(fz_kwargs.items())).encode())
+    h.update(repr(sorted(kw.items())).encode())
+    h.update(repr((num_confs, conf_seed, compact)).encode())
+    if isinstance(system, str) and os.path.exists(system):
+        with open(system, "rb") as f:
+            h.update(hashlib.md5(f.read()).digest())
+    else:
+        h.update(repr(system).encode())
+    import physdock_tpu.data.feature_loader as _fl
+    import physdock_tpu.model.compact as _mc
+
+    for mod in (_fl, _mc):
+        h.update(str(os.path.getmtime(mod.__file__)).encode())
+    return h.hexdigest()
+
+
 def _serve() -> None:
     from physdock_tpu.data.feature_loader import SystemFeaturizer
 
@@ -237,6 +261,8 @@ def _serve() -> None:
     sys.stdout = sys.stderr
 
     fz = None
+    cache_dir = None
+    data_cfg = fz_kwargs = None
     while True:
         try:
             msg = _recv(inp)
@@ -246,6 +272,11 @@ def _serve() -> None:
             return
         if msg[0] == "init":
             _, data_cfg, kwargs = msg
+            kwargs = dict(kwargs)
+            cache_dir = kwargs.pop("cache_dir", None)
+            if cache_dir:
+                os.makedirs(cache_dir, exist_ok=True)
+            fz_kwargs = kwargs
             fz = SystemFeaturizer(data_cfg, **kwargs)
             _send(out, "ready")
             continue
@@ -265,6 +296,22 @@ def _serve() -> None:
 
             _t0 = _time.perf_counter()
             try:
+                cpath = None
+                if cache_dir:
+                    key = _cache_key(
+                        data_cfg, fz_kwargs, system, kw, num_confs,
+                        conf_seed, compact,
+                    )
+                    cpath = os.path.join(cache_dir, key + ".pkl")
+                    if os.path.exists(cpath):
+                        with open(cpath, "rb") as f:
+                            feats, meta, confs = pickle.load(f)
+                        meta["_worker_time_s"] = round(
+                            _time.perf_counter() - _t0, 3
+                        )
+                        meta["_feat_cache"] = "hit"
+                        _send(out, ("ok", rid, (feats, meta, confs)))
+                        continue
                 feats, meta = fz.load(system, **kw)
                 if compact:
                     from physdock_tpu.model.compact import (
@@ -291,6 +338,11 @@ def _serve() -> None:
                         base_coords=mol.coords,
                         rng=np.random.default_rng(conf_seed),
                     )
+                if cpath:
+                    tmp = cpath + f".tmp{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        pickle.dump((feats, meta, confs), f, protocol=4)
+                    os.replace(tmp, cpath)  # atomic: concurrent workers safe
                 meta["_worker_time_s"] = round(_time.perf_counter() - _t0, 3)
                 _send(out, ("ok", rid, (feats, meta, confs)))
             except Exception:

@@ -235,7 +235,10 @@ def sample_diffusion(
         return (x_out, batch_ref_pos, key), None
 
     xs = (sigmas[:-1], sigmas[1:])
+    from physdock_tpu.nn.transformers import _unroll_for_cost
+
     (x_final, _, _), _ = jax.lax.scan(
-        step, (x_next, batch_ref_pos0, key), xs
+        step, (x_next, batch_ref_pos0, key), xs,
+        unroll=steps if _unroll_for_cost() else 1,
     )
     return x_final

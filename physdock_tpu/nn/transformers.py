@@ -49,6 +49,16 @@ def _res(x, delta):
     return x + delta.astype(x.dtype)
 
 
+def _unroll_for_cost() -> bool:
+    """XLA HLO cost analysis counts a scan body ONCE regardless of trip
+    count; the FLOP counter (utils/flops.py) sets this env so every block
+    lands in the lowered module.  Never set in production (the rolled scan
+    is the one-compilation memory strategy)."""
+    import os
+
+    return os.environ.get("PHYSDOCK_UNROLL_SCANS") == "1"
+
+
 def _scan_stack(block_cls, length: int, remat: bool = True, **block_kw):
     """Stack `length` copies of a carry->carry block as a lax.scan."""
     cls = nn.remat(block_cls, prevent_cse=False) if remat else block_cls
@@ -60,6 +70,7 @@ def _scan_stack(block_cls, length: int, remat: bool = True, **block_kw):
         in_axes=nn.broadcast,
         out_axes=0,
         metadata_params={nn.meta.PARTITION_NAME: None},
+        unroll=length if _unroll_for_cost() else 1,
     )(**block_kw)
 
 
@@ -310,6 +321,7 @@ class DiT(nn.Module):
             length=self.no_blocks,
             out_axes=0,
             metadata_params={nn.meta.PARTITION_NAME: None},
+            unroll=self.no_blocks if _unroll_for_cost() else 1,
         )
         cls = nn.remat(DiTBlock, prevent_cse=False, methods=["__call__", "bias_only"])
         self.blocks = nn.scan(
