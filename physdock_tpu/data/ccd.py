@@ -125,17 +125,150 @@ def infer_elements(pos: np.ndarray):
     return z, pairs
 
 
-def molecule_from_positions(pos: np.ndarray, name: str = "LIG") -> Molecule:
-    """Build a Molecule graph purely from heavy-atom coordinates.
+# max total heavy-atom bond order (neutral forms; S/P hypervalent allowed;
+# N gets 4 to admit nitro/N-oxide/quaternary forms)
+_MAX_VALENCE = {1: 1, 5: 3, 6: 4, 7: 4, 8: 2, 9: 1, 14: 4, 15: 5, 16: 6,
+                17: 1, 35: 1, 53: 1}
 
-    Bond orders: aromatic (1.5) for planar 5/6-rings with benzene-like bond
-    lengths, double (2.0) for short terminal oxygens, else single.  If the
-    perceived graph is disconnected, the closest inter-fragment atom pairs
-    are bridged so downstream graph algorithms stay well-defined.
+# ratio-classifier boundaries: d / (r_cov(i) + r_cov(j)) against the same
+# _ORDER_FACTOR ladder the embedder/restraint field uses (1.0 single,
+# 0.93 aromatic, 0.87 double, 0.78 triple; data/embed.py:33).  Boundaries
+# sit midway between classes; the aromatic band only applies to PLANAR
+# ring bonds, so ester C-O (~0.94) and amide C-N (~0.905) stay single
+# while crystal aromatics (benzene 0.914, pyridine 0.91, furan 0.957,
+# thiophene 0.945) land inside the band.  The upper edge is generous
+# (embedded rings converge with up to ~2% length error) — puckered
+# saturated rings are rejected by the planarity gate, not the band.
+_AROM_BAND = (0.885, 0.985)
+_AROM_PLANARITY = 0.10  # rms out-of-plane per atom, A
+_DOUBLE_MAX_RATIO = 0.90
+_TRIPLE_MAX_RATIO = 0.825
+
+
+def _perceive_orders(pos, z, pairs, mol: Molecule) -> Dict:
+    """Valence-aware bond-order assignment from geometry.
+
+    1. aromatic rings: 5/6 rings (incl. fused) of sp2-capable atoms whose
+       bond-length RATIOS all sit in the aromatic band -> order 1.5;
+    2. remaining bonds ascending by ratio: triple then double where the
+       boundary admits it AND both atoms have free valence (C=O wins over
+       amide C-N automatically: smaller ratio, consumes C's valence first).
     """
+    from physdock_tpu.data.embed import _COV_RADII
+
+    orders = {tuple(sorted(p)): 1.0 for p in pairs}
+    n = len(z)
+
+    def ratio(i, j):
+        d = float(np.linalg.norm(pos[i] - pos[j]))
+        return d / (
+            _COV_RADII.get(int(z[i]), 1.2) + _COV_RADII.get(int(z[j]), 1.2)
+        )
+
+    deg = np.zeros(n, np.int32)
+    for i, j in pairs:
+        deg[i] += 1
+        deg[j] += 1
+
+    # --- aromatic rings (fused systems qualify ring-by-ring)
+    for ring in mol.rings():
+        if len(ring) not in (5, 6):
+            continue
+        if not all(int(z[a]) in (6, 7, 8, 16) and deg[a] <= 3 for a in ring):
+            continue
+        ratios = [
+            ratio(ring[k], ring[(k + 1) % len(ring)])
+            for k in range(len(ring))
+        ]
+        pts = pos[ring] - pos[ring].mean(0)
+        planar = (
+            np.linalg.svd(pts, compute_uv=False)[-1] / np.sqrt(len(ring))
+            < _AROM_PLANARITY
+        )
+        if planar and all(_AROM_BAND[0] <= r <= _AROM_BAND[1] for r in ratios):
+            for k in range(len(ring)):
+                a, b = ring[k], ring[(k + 1) % len(ring)]
+                orders[tuple(sorted((a, b)))] = 1.5
+
+    # --- localized multiple bonds, valence-aware, smallest ratio first.
+    # Aromatic (1.5) bonds count 1.0 toward the budget: in the Kekule
+    # structure an aromatic atom carrying an exocyclic double bond (e.g.
+    # caffeine's ring C=O) has SINGLE ring bonds, so the 1.5 bookkeeping
+    # would wrongly veto the exocyclic double.
+    val = np.zeros(n, np.float64)
+    for (i, j), o in orders.items():
+        contrib = 1.0 if o == 1.5 else o
+        val[i] += contrib
+        val[j] += contrib
+
+    def free(a, amount):
+        return val[a] + amount <= _MAX_VALENCE.get(int(z[a]), 4) + 1e-6
+
+    cands = []
+    for i, j in pairs:
+        key = tuple(sorted((i, j)))
+        if orders[key] != 1.0:
+            continue
+        r = ratio(i, j)
+        if r < _TRIPLE_MAX_RATIO and deg[i] <= 2 and deg[j] <= 2:
+            cands.append((r, key, 3.0))
+        elif r < _DOUBLE_MAX_RATIO:
+            cands.append((r, key, 2.0))
+    for r, (i, j), o in sorted(cands):
+        if orders[(i, j)] != 1.0:
+            continue
+        extra = o - 1.0
+        if free(i, extra) and free(j, extra):
+            orders[(i, j)] = o
+            val[i] += extra
+            val[j] += extra
+
+    # --- hypervalent S/P: terminal oxygens are S=O/P=O regardless of the
+    # length ratio (absolute lengths around hypervalent centres sit far
+    # from the diatomic ideal — sulfonyl S=O 1.45 vs r_cov sum 1.71 —
+    # so the ratio ladder cannot see them); shortest first, valence-capped
+    for c in range(n):
+        if int(z[c]) not in (15, 16) or deg[c] < 3:
+            continue
+        term_o = [
+            a for a in mol.adjacency[c]
+            if int(z[a]) == 8 and deg[a] == 1
+            and orders[tuple(sorted((c, a)))] == 1.0
+        ]
+        for a in sorted(term_o, key=lambda a: ratio(c, a)):
+            if free(c, 1.0) and free(a, 1.0):
+                orders[tuple(sorted((c, a)))] = 2.0
+                val[c] += 1.0
+                val[a] += 1.0
+    return orders
+
+
+def molecule_from_positions(
+    pos: np.ndarray,
+    name: str = "LIG",
+    atomic_numbers: Optional[np.ndarray] = None,
+) -> Molecule:
+    """Build a Molecule graph from heavy-atom coordinates.
+
+    With `atomic_numbers` given (SDF/SMILES/blob supplied elements but no
+    bonds), only connectivity + bond orders are perceived; otherwise
+    elements are also inferred geometrically (last resort).  Accuracy is
+    gated by tests/test_chem_roundtrip.py: embed the fuzz corpus, re-
+    perceive from bare coordinates, compare bond orders/aromaticity/
+    chirality (>=95% exact with known elements).
+
+    If the perceived graph is disconnected, the closest inter-fragment
+    atom pairs are bridged so downstream graph algorithms stay defined.
+    """
+    from physdock_tpu import native
+
     pos = np.asarray(pos, np.float32)
     n = len(pos)
-    z, pairs = infer_elements(pos)
+    if atomic_numbers is None:
+        z, pairs = infer_elements(pos)
+    else:
+        z = np.asarray(atomic_numbers, np.int32)
+        pairs = native.perceive_bonds(pos, z, scale=1.17)
 
     # connectivity repair (a ligand is a single molecule)
     def components(pairs):
@@ -169,36 +302,11 @@ def molecule_from_positions(pos: np.ndarray, name: str = "LIG") -> Molecule:
         pairs.append((best[1], best[2]))
         comps = components(pairs)
 
-    orders = {tuple(sorted(p)): 1.0 for p in pairs}
     mol = Molecule(
         z, np.zeros(n, np.int32), [(i, j, 1.0) for i, j in pairs],
         coords=pos, name=name,
     )
-    for ring in mol.rings():
-        if len(ring) not in (5, 6):
-            continue
-        ring_pos = pos[ring] - pos[ring].mean(0)
-        planar = np.linalg.svd(ring_pos, compute_uv=False)[-1] < 0.35
-        ds = [
-            float(np.linalg.norm(pos[ring[k]] - pos[ring[(k + 1) % len(ring)]]))
-            for k in range(len(ring))
-        ]
-        if planar and 1.30 < float(np.mean(ds)) < 1.46:
-            for k in range(len(ring)):
-                orders[tuple(sorted((ring[k], ring[(k + 1) % len(ring)])))] = 1.5
-    adj_deg = np.zeros(n, np.int32)
-    for i, j in pairs:
-        adj_deg[i] += 1
-        adj_deg[j] += 1
-    for i, j in pairs:
-        if orders[tuple(sorted((i, j)))] != 1.0:
-            continue
-        d = float(np.linalg.norm(pos[i] - pos[j]))
-        terminal_o = (z[i] == 8 and adj_deg[i] == 1) or (
-            z[j] == 8 and adj_deg[j] == 1
-        )
-        if terminal_o and d < 1.28:
-            orders[tuple(sorted((i, j)))] = 2.0
+    orders = _perceive_orders(pos, z, pairs, mol)
     bonds = [(i, j, orders[tuple(sorted((i, j)))]) for i, j in pairs]
     return Molecule(z, np.zeros(n, np.int32), bonds, coords=pos, name=name)
 
