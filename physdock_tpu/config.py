@@ -73,12 +73,15 @@ class ModelConfig:
     num_augmentation_sample: int = 48
     # distogram head
     no_distogram_bins: int = 39
-    # training-era options (reference configs_old.py:4-47; release defaults)
+    # training-era options (reference configs_old.py:4-47; release defaults).
+    # configs_old also names atom_attention_type="spatial"/interaction_aware,
+    # but the RELEASED reference model contains no code implementing either
+    # (grep of PhysDock/models/ finds nothing) — they configure an unshipped
+    # training-era architecture, so they are deliberately NOT config surface
+    # here (a flag nothing reads is a latent parity bug).
     num_recycles: int = 0
     use_mini_rollout: bool = False
     mini_rollout_steps: int = 12  # train.sh:111
-    atom_attention_type: str = "sequence"  # "sequence" | "spatial"
-    interaction_aware: bool = False
 
     @classmethod
     def preset(cls, name: str, **overrides) -> "ModelConfig":
@@ -167,15 +170,14 @@ class LossConfig:
 class MeshConfig:
     """Device-mesh layout for pjit.
 
-    Axes: `dp` shards the system/sample batch over chips (the dominant axis —
-    the reference's only distributed strategy was DDP, train.sh:69-81);
-    `mp` optionally shards attention heads / pair channels for very large
-    no-crop inference.
+    One axis: `dp` shards the system/sample batch over chips (the
+    reference's only distributed strategy was DDP, train.sh:69-81; it has
+    no TP/PP/SP to mirror — SURVEY §2.5 — and no-crop trunks fit one chip
+    at bf16, so a model-parallel axis would shard nothing).
     """
 
     dp: int = -1  # -1: all devices
-    mp: int = 1
-    axis_names: Tuple[str, ...] = ("dp", "mp")
+    axis_names: Tuple[str, ...] = ("dp",)
 
 
 @dataclasses.dataclass(frozen=True)

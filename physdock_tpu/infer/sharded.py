@@ -35,16 +35,19 @@ def sharded_sample_diffusion(
     local = num_sample // dp
 
     def body(params, batch, key, conditioning, guidance):
+        # same BASE key on every device; each device draws the global
+        # sample indices of its shard, so the result equals the unsharded
+        # sample_diffusion(num_sample=dp*local) pose-for-pose
         idx = jax.lax.axis_index("dp")
-        k = jax.random.fold_in(key, idx)
         return sample_diffusion(
             model,
             params,
             batch,
-            k,
+            key,
             num_sample=local,
             guidance=guidance,
             conditioning=conditioning,
+            sample_key_offset=idx * local,
             **kw,
         )
 

@@ -126,6 +126,7 @@ def sample_diffusion(
     mmff_iters: int = 5,
     align_ref_pos: bool = True,
     conditioning: Optional[Tuple] = None,
+    sample_key_offset=0,
 ) -> jnp.ndarray:
     """Run the EDM reverse pass; returns x [num_sample, A, 3].
 
@@ -134,6 +135,12 @@ def sample_diffusion(
     If `conditioning` (a, ap, s, z) is given, the trunk is skipped (the
     redocking round loop reuses it across rounds with resampled MSA —
     conditioning must then be recomputed by the caller per round).
+
+    RNG is mesh-invariant: every sample draws from its own stream
+    `fold_in(key, sample_key_offset + i)`, so a dp-sharded run (each device
+    sampling a slice with offset = device_index * local_count and the SAME
+    base key) produces exactly the poses the unsharded run would
+    (tests/test_sharded_infer.py asserts this equivalence).
     """
     x_exists = batch["a_mask"].astype(jnp.float32)
     num_atoms = batch["ref_pos"].shape[-2]
@@ -156,10 +163,14 @@ def sample_diffusion(
         * x_exists
     ).astype(jnp.float32)
 
-    key, k_init = jax.random.split(key)
-    x_next = sigmas[0] * jax.random.normal(
-        k_init, (num_sample, num_atoms, 3), jnp.float32
-    )
+    # one independent key stream per sample (mesh-invariant; see docstring)
+    sample_ids = sample_key_offset + jnp.arange(num_sample)
+    skeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(sample_ids)
+
+    k_init = jax.vmap(lambda k: jax.random.fold_in(k, 0))(skeys)
+    x_next = sigmas[0] * jax.vmap(
+        lambda k: jax.random.normal(k, (num_atoms, 3), jnp.float32)
+    )(k_init)
 
     batch_ref_pos0 = jnp.repeat(batch["ref_pos"][None].astype(jnp.float32), num_sample, axis=0)
 
@@ -174,15 +185,21 @@ def sample_diffusion(
         )
 
     def step(carry, xs):
-        x_next, batch_ref_pos, key = carry
+        x_next, batch_ref_pos, skeys = carry
         t_cur, t_next = xs
-        key, k_aug, k_churn = jax.random.split(key, 3)
+        skeys, k_augs, k_churns = jax.vmap(
+            lambda k: tuple(jax.random.split(k, 3))
+        )(skeys)
 
-        x_cur = centre_random_augmentation(k_aug, x_next, x_exists)
+        x_cur = jax.vmap(
+            lambda k, xs_: centre_random_augmentation(k, xs_, x_exists)
+        )(k_augs, x_next)
 
         churn = t_cur > gamma_min
         t_hat_churn = t_cur * (gamma_0 + 1.0)
-        noise = jax.random.normal(k_churn, x_cur.shape, x_cur.dtype)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, x_cur.shape[1:], x_cur.dtype)
+        )(k_churns)
         ksi = (
             noise_scale_lambda
             * noise
@@ -232,13 +249,13 @@ def sample_diffusion(
         dt = (t_next - t_hat)[:, None, None]
         eta = jnp.where(churn, step_scale_eta, ode_step_scale_eta)
         x_out = x_hat + eta * dt * d_cur
-        return (x_out, batch_ref_pos, key), None
+        return (x_out, batch_ref_pos, skeys), None
 
     xs = (sigmas[:-1], sigmas[1:])
     from physdock_tpu.nn.transformers import _unroll_for_cost
 
     (x_final, _, _), _ = jax.lax.scan(
-        step, (x_next, batch_ref_pos0, key), xs,
+        step, (x_next, batch_ref_pos0, skeys), xs,
         unroll=steps if _unroll_for_cost() else 1,
     )
     return x_final

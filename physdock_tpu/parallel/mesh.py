@@ -1,11 +1,17 @@
 """Device mesh and sharding helpers.
 
 The reference's only distributed strategy is DDP over NCCL
-(tasks/unicore_train/train.sh:69-81).  TPU-native equivalent: a
-(dp, mp) jax.sharding.Mesh; the system/sample batch axis shards over `dp`
-(gradients psum over ICI), `mp` is reserved for sharding attention heads /
-pair channels in no-crop inference.  Multi-host: the same code runs under
-jax.distributed.initialize with a global mesh spanning slices.
+(tasks/unicore_train/train.sh:69-81).  TPU-native equivalent: a 1-D `dp`
+jax.sharding.Mesh; the system/sample batch axis shards over `dp`
+(gradients psum over ICI).  Multi-host: the same code runs under
+jax.distributed.initialize (train/train.py --coordinator) with a global
+mesh spanning slices — DP gradients then allreduce over ICI within a
+slice and DCN across slices, inserted by XLA from the same shard_map.
+
+There is deliberately no model-parallel axis: the reference has no
+TP/PP/SP to reproduce (SURVEY §2.5), crop-free trunks fit a single chip
+at bf16 (validated on-chip, NOTES_ROUND2 item 5), and a config axis
+nothing shards over would be a false capability surface.
 """
 
 from __future__ import annotations
@@ -17,15 +23,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(
-    dp: int = -1, mp: int = 1, devices: Optional[Sequence] = None
-) -> Mesh:
+def make_mesh(dp: int = -1, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if dp == -1:
-        dp = len(devices) // mp
-    assert dp * mp <= len(devices), (dp, mp, len(devices))
-    arr = np.array(devices[: dp * mp]).reshape(dp, mp)
-    return Mesh(arr, ("dp", "mp"))
+        dp = len(devices)
+    assert dp <= len(devices), (dp, len(devices))
+    arr = np.array(devices[:dp])
+    return Mesh(arr, ("dp",))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

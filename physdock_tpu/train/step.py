@@ -92,14 +92,21 @@ def make_train_step(
         )
 
     def device_grads(params, batch, key):
-        """Runs per device under shard_map; batch is the local shard."""
+        """Runs per device under shard_map; batch is the local shard.
+
+        Per-sample keys fold in the GLOBAL sample index, so the gradient
+        is invariant to the mesh size for a fixed global batch (the dp=8
+        step equals the dp=1 step — tests/test_train.py asserts it)."""
         idx = jax.lax.axis_index("dp")
-        key = jax.random.fold_in(key, idx)
 
         def one(i, acc):
             microbatch = jax.tree_util.tree_map(lambda x: x[i], batch)
+            n_local_ = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda x: x.shape[0], batch)
+            )[0]
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, microbatch, jax.random.fold_in(key, i)
+                params, microbatch,
+                jax.random.fold_in(key, idx * n_local_ + i),
             )
             grads = clip_by_norm(grads, per_replica_clip)
             g_acc, l_acc = acc
