@@ -56,7 +56,27 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--init_from_ckpt", default=None)
     p.add_argument("--seed", type=int, default=0)
+    # multi-host (DCN) entry: the reference trains multi-node via OMPI env
+    # plumbing + torch.distributed.run (train.sh:1-12,36,69-81); here the
+    # same single-controller-per-host program spans slices once
+    # jax.distributed.initialize connects the processes
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port; enables multi-host")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.coordinator:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(
+            f"multi-host: process {jax.process_index()}/{jax.process_count()} "
+            f"local devices {len(jax.local_devices())} "
+            f"global devices {len(jax.devices())}"
+        )
 
     cfg = PhysDockConfig.named(
         args.model_name,
@@ -83,15 +103,40 @@ def main(argv=None):
     )
     optimizer = make_optimizer(args.lr, args.warmup_steps)
 
+    # per-host input pipeline: each process featurizes only its share of
+    # the global batch (distinct sampler stream per host)
+    n_proc = jax.process_count()
+    assert batch_size % n_proc == 0, (batch_size, n_proc)
+    local_batch_size = batch_size // n_proc
     featurizer = SystemFeaturizer(
         cfg.data, inference_mode=False, seed=args.seed, pad_to_bucket=False
     )
-    sampler = WeightedSystemSampler.from_dataset_dir(args.dataset_dir, args.seed)
+    sampler = WeightedSystemSampler.from_dataset_dir(
+        args.dataset_dir, args.seed + 7919 * jax.process_index()
+    )
     batches = prefetch(
         batch_iterator(
-            sampler, featurizer, batch_size, args.crop_size, args.atom_crop_size
+            sampler, featurizer, local_batch_size, args.crop_size,
+            args.atom_crop_size,
         )
     )
+
+    from physdock_tpu.parallel.mesh import batch_sharding
+
+    b_sharding = batch_sharding(mesh)
+
+    def globalize(local):
+        """Assemble the dp-sharded global batch from this host's shard."""
+        if n_proc == 1:
+            return {k: jnp.asarray(v) for k, v in local.items()}
+        import numpy as _np
+
+        return {
+            k: jax.make_array_from_process_local_data(
+                b_sharding, _np.asarray(v)
+            )
+            for k, v in local.items()
+        }
 
     first = next(batches)
     micro0 = {k: jnp.asarray(v[0]) for k, v in first.items()}
@@ -130,16 +175,14 @@ def main(argv=None):
     t0 = time.time()
     while int(state.step) < args.total_steps:
         key, k_step = jax.random.split(key)
-        state, logs = train_step(
-            state, {k: jnp.asarray(v) for k, v in batch.items()}, k_step
-        )
+        state, logs = train_step(state, globalize(batch), k_step)
         step = int(state.step)
         if step % 10 == 0:
             logs = {k: float(v) for k, v in logs.items()}
             dt = time.time() - t0
             print(f"step {step} loss {logs['loss']:.4f} ({dt:.1f}s) {logs}")
             t0 = time.time()
-        if step % args.save_every == 0:
+        if step % args.save_every == 0 and jax.process_index() == 0:
             path = ckpt_lib.save_train_state(args.ckpt_dir, state, args.keep_ckpts)
             print(f"checkpoint: {path}")
         batch = next(batches)
