@@ -67,11 +67,33 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 @jax.custom_vjp
 def _folded_diff(q, k, v, bias):
-    # primal (inference) path: fastest forward — head-folded kernel
+    # primal (inference) path: fastest forward — stacked-head folded
+    # kernel (v3: lane mask applied once to q, no per-head k/v masking;
+    # 2.77 ms vs v1's 2.96 at the production shape) with v1 fallback for
+    # shapes whose stacked accumulator does not fit VMEM
     from physdock_tpu.ops.flash_attention_folded import (
         flash_sdpa_folded_from_split,
     )
+    from physdock_tpu.ops.flash_attention_folded_v3 import (
+        flash_sdpa_folded_v3,
+        pick_tiles_folded_v3,
+    )
 
+    b, h, s_q, d = q.shape
+    s_k = k.shape[-2]
+    # v3 measured only on the long atom-attention shapes; the S=256 trunk
+    # keeps the v1 tiling it was tuned with (65 ms trunk)
+    if (
+        s_k >= 1024
+        and pick_tiles_folded_v3(b, s_q, s_k, h * d, h, q.dtype.itemsize)[1]
+    ):
+        def fold(x, s):
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, s, h * d)
+
+        o = flash_sdpa_folded_v3(
+            fold(q, s_q), fold(k, s_k), fold(v, s_k), bias, h
+        )
+        return jnp.transpose(o.reshape(b, s_q, h, d), (0, 2, 1, 3))
     return flash_sdpa_folded_from_split(q, k, v, bias)
 
 

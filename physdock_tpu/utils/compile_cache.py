@@ -31,6 +31,12 @@ def enable(cache_dir: str | None = None) -> str | None:
     try:
         import jax
 
+        if jax.devices()[0].platform == "cpu":
+            # XLA:CPU AOT entries record compile-machine features that can
+            # mismatch the loader (observed "+prefer-no-scatter not
+            # supported" warnings threatening SIGILL), and CPU compiles are
+            # cheap anyway — the cache targets the TPU bucket ladders
+            return None
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         # cache everything but trivial compiles; the bucket-ladder trunk
