@@ -112,7 +112,16 @@ class MixedBatchSampler:
     """Training data mix (feature_loader_plinder.py:1-7 header):
     ~85% receptor+ligand complexes, ~5% protein-only, ~10% ligand-only
     conformer batches (SMILES chunks standing in for the reference's
-    374-chunk ligand DB)."""
+    374-chunk ligand DB).
+
+    On the header's "0.5 APO / 0.5 HOLO template" split: the reference's
+    ACTUAL training code contradicts its own header — the plinder loader
+    samples t_mask=1 with probability 0.1 (feature_loader_plinder.py:
+    1059-1064; the bert-mask variant is commented out), and the release
+    loader uses P(template)=1-train_use_template_ratio=0.25 with bert
+    masking (feature_loader.py:955-961).  This build mirrors the release
+    loader's executed behavior exactly (data/feature_loader.py
+    _template_feat); tune `train_use_template_ratio` to move the split."""
 
     def __init__(
         self,

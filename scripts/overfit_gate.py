@@ -141,10 +141,15 @@ def main():
 
     state = init_train_state(params, optimizer)
     start_step = 0
-    if args.resume:
+    resume = args.resume
+    if resume is None:  # auto-resume: tunnel retries must not start over
         from physdock_tpu.train import checkpoint as ckpt_lib
 
-        restored = ckpt_lib.restore_train_state(args.resume)
+        resume = ckpt_lib.latest_checkpoint(os.path.join(args.out, "ckpts"))
+    if resume:
+        from physdock_tpu.train import checkpoint as ckpt_lib
+
+        restored = ckpt_lib.restore_train_state(resume)
         state = init_train_state(restored["params"], optimizer)._replace(
             step=jnp.asarray(restored["step"], jnp.int32),
             opt_state=restored["opt_state"],
