@@ -1,0 +1,98 @@
+"""Measure bf16-carry drift on trained weights (ADVICE r2 medium #2).
+
+The trunk/sampler carry residual streams in bf16 on TPU
+(nn/transformers.py::_res) while the reference's .float() casts keep
+fp32 carries; golden parity gates run fp32-on-CPU where the cast is
+identity.  This probe runs the SAME trained params + batch + keys
+through the full conditioning + sampler at bf16 compute vs fp32 compute
+on the chip and reports per-pose coordinate / ligand-RMSD deltas — the
+number that says whether bf16 carries are safe end-to-end.
+
+Usage: python scripts/bf16_drift_tpu.py [CKPT_DIR]
+(defaults to the overfit gate's latest checkpoint)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEMO_DIR = "/root/reference/demo/redocking/Posebusters_subset"
+DEMO_MSA = "/root/reference/demo/redocking/features"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from physdock_tpu.config import PhysDockConfig
+    from physdock_tpu.data.feat_worker import FeaturizerWorker
+    from physdock_tpu.model.diffusion import sample_diffusion
+    from physdock_tpu.model.physdock import PhysDock
+    from physdock_tpu.train import checkpoint as ckpt_lib
+
+    ckpt = sys.argv[1] if len(sys.argv) > 1 else ckpt_lib.latest_checkpoint(
+        "/root/repo/_overfit/ckpts"
+    )
+    assert ckpt, "no checkpoint available"
+    restored = ckpt_lib.restore_train_state(ckpt)
+    params = restored["ema_params"]
+    print(f"params from {ckpt}", flush=True)
+
+    results = {}
+    for bf16 in (False, True):
+        cfg = PhysDockConfig.named(
+            "toy", crop_size=128, atom_crop_size=1024, bf16=bf16,
+            infer_use_pocket=True, infer_use_key_res=True,
+        )
+        worker = FeaturizerWorker(
+            cfg.data,
+            cache_dir="/root/repo/_overfit/featcache",
+            msa_features_dir=f"{DEMO_MSA}/msa_features",
+            uniprot_msa_features_dir=f"{DEMO_MSA}/uniprot_msa_features",
+            inference_mode=True,
+            seed=0,
+        )
+        model = PhysDock(cfg=cfg.model, dtype=cfg.dtypes.compute_dtype)
+        sysp = sorted(
+            os.path.join(DEMO_DIR, f) for f in os.listdir(DEMO_DIR)
+        )[0]
+        feats, meta, _ = worker.load(sysp, num_msa_rounds=1)
+        worker.stop()
+        batch = {k: jnp.asarray(v) for k, v in feats.items()}
+
+        @jax.jit
+        def run(params, batch, key):
+            return sample_diffusion(
+                model, params, batch, key, num_sample=8, steps=40,
+                karras_rho=1000.0,
+            )
+
+        x = np.asarray(
+            run(params, batch, jax.random.PRNGKey(0)), np.float32
+        )
+        results[bf16] = (x, np.asarray(meta["ligand_atom_idx"]))
+        print(f"bf16={bf16}: poses {x.shape} finite={np.isfinite(x).all()}",
+              flush=True)
+
+    x32, lig = results[False]
+    x16, _ = results[True]
+    coord = np.abs(x32 - x16)
+    lig_rmsd = np.sqrt(
+        np.mean(np.sum((x32[:, lig] - x16[:, lig]) ** 2, -1), -1)
+    )
+    print(
+        f"coord |delta|: mean {coord.mean():.4f} A, p99 "
+        f"{np.percentile(coord, 99):.4f} A, max {coord.max():.4f} A",
+        flush=True,
+    )
+    print(
+        f"per-pose ligand RMSD(fp32 vs bf16): "
+        f"{[round(float(r), 4) for r in lig_rmsd]}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
