@@ -55,8 +55,23 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, ckpts[-1]) if ckpts else None
 
 
-def restore_train_state(path: str):
-    return _ckptr().restore(path)
+def restore_train_state(path: str, like=None):
+    """Restore a saved train-state dict.
+
+    `like`: an optional template dict {"step", "params", "opt_state",
+    "ema_params"} from a freshly initialized TrainState — orbax restores
+    bare pytrees as nested dicts, which breaks optax (its states are
+    NamedTuples: 'dict' object has no attribute 'mu'); restoring against
+    the template reproduces the exact container types."""
+    if like is None:
+        return _ckptr().restore(path)
+    import orbax.checkpoint as ocp
+
+    template = jax.tree_util.tree_map(np.asarray, jax.device_get(like))
+    return _ckptr().restore(path, args=ocp.args.PyTreeRestore(
+        restore_args=ocp.checkpoint_utils.construct_restore_args(template),
+        item=template,
+    ))
 
 
 def restore_params(path: str, prefer_ema: bool = True):

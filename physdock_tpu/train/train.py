@@ -148,7 +148,24 @@ def main(argv=None):
         params = import_checkpoint(resume)
         state = init_train_state(params, optimizer)
     elif resume:
-        restored = ckpt_lib.restore_train_state(resume)
+        import numpy as _np
+
+        template_params = model.init(
+            key,
+            micro0,
+            jax.random.PRNGKey(1),
+            method="init_all" if args.use_mini_rollout else None,
+        )
+        tstate = init_train_state(template_params, optimizer)
+        restored = ckpt_lib.restore_train_state(
+            resume,
+            like={
+                "step": _np.asarray(0),
+                "params": tstate.params,
+                "opt_state": tstate.opt_state,
+                "ema_params": tstate.ema_params,
+            },
+        )
         params = restored["params"]
         state = init_train_state(params, optimizer)._replace(
             step=jnp.asarray(restored["step"], jnp.int32),

@@ -149,7 +149,15 @@ def main():
     if resume:
         from physdock_tpu.train import checkpoint as ckpt_lib
 
-        restored = ckpt_lib.restore_train_state(resume)
+        restored = ckpt_lib.restore_train_state(
+            resume,
+            like={
+                "step": np.asarray(0),
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "ema_params": state.ema_params,
+            },
+        )
         state = init_train_state(restored["params"], optimizer)._replace(
             step=jnp.asarray(restored["step"], jnp.int32),
             opt_state=restored["opt_state"],
