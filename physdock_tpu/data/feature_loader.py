@@ -175,10 +175,13 @@ class SystemFeaturizer:
                         # unavailable: reconstruct approximate chemistry
                         # from the GT coordinates (data/ccd.py)
                         logging.warning(
-                            "CCD %r unknown — reconstructing approximate "
-                            "chemistry from coordinates (provide "
-                            "--ligand_sdf/--ligand_smi/--ccd_blob for exact "
-                            "chemistry)",
+                            "CCD %r unknown — perceiving chemistry from "
+                            "coordinates (98%% exact bond-order/aromatic/"
+                            "chirality round-trip with known elements, "
+                            "tests/test_chem_roundtrip.py; element "
+                            "inference itself is heuristic — provide "
+                            "--ligand_sdf/--ligand_smi/--ccd_blob for "
+                            "exact chemistry)",
                             ccd,
                         )
                         self.ccd.register_ligand(
