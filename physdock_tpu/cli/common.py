@@ -50,6 +50,13 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ebable_x_gt_ligand_as_ref_pos", action="store_true",
                    help="GT-conformer ablation (reference redocking.py:79-82)")
+    p.add_argument("--smiles_protonate_ph", type=float, default=-1.0,
+                   help="assign physiological-pH formal charges to SMILES "
+                        "ligands (e.g. 7.4); <0 = off (reference parity: "
+                        "RDKit parse-time sanitization only)")
+    p.add_argument("--smiles_canonical_tautomer", action="store_true",
+                   help="canonicalize SMILES ligand tautomers before "
+                        "embedding (data/protomers.py)")
 
 
 def build_pipeline(args):
@@ -77,6 +84,8 @@ def build_pipeline(args):
         infer_use_pocket=args.use_pocket,
         infer_use_key_res=args.use_key_res,
         key_res_random_mask_ratio=args.key_res_random_mask_ratio,
+        smiles_protonate_ph=args.smiles_protonate_ph,
+        smiles_canonical_tautomer=args.smiles_canonical_tautomer,
     )
     from physdock_tpu.data.ccd import CCDLibrary
 

@@ -135,6 +135,13 @@ class DataConfig:
     train_use_template_ratio: float = 0.75
     train_template_mask_max_ratio: float = 0.4
 
+    # SMILES ligand-prep extensions (data/protomers.py). The reference
+    # relies on RDKit parse-time sanitization only (tools/rdkit.py:14-28),
+    # so both default off; hypervalent charge-separation (the RDKit
+    # cleanup equivalent) is always on in the parser.
+    smiles_protonate_ph: float = -1.0  # <0 = off; e.g. 7.4
+    smiles_canonical_tautomer: bool = False
+
 
 @dataclasses.dataclass(frozen=True)
 class LossConfig:

@@ -308,7 +308,13 @@ def molecule_from_positions(
     )
     orders = _perceive_orders(pos, z, pairs, mol)
     bonds = [(i, j, orders[tuple(sorted((i, j)))]) for i, j in pairs]
-    return Molecule(z, np.zeros(n, np.int32), bonds, coords=pos, name=name)
+    out = Molecule(z, np.zeros(n, np.int32), bonds, coords=pos, name=name)
+    # charge-separate hypervalent spellings (nitro/azide/N-oxide) exactly
+    # as the SMILES/SDF parse path does, so perception from geometry and
+    # parsing converge on one canonical graph (data/protomers.py)
+    from physdock_tpu.data.protomers import normalize
+
+    return normalize(out)
 
 
 def entry_from_positions(

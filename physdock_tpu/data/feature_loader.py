@@ -146,7 +146,14 @@ class SystemFeaturizer:
             if smi is not None:
                 from physdock_tpu.data.smiles import mol_from_smiles
 
-                ligand_mol = mol_from_smiles(smi)
+                ph = getattr(self.cfg, "smiles_protonate_ph", -1.0)
+                ligand_mol = mol_from_smiles(
+                    smi,
+                    protonate_ph=None if ph is None or ph < 0 else ph,
+                    canonical_tautomer=getattr(
+                        self.cfg, "smiles_canonical_tautomer", False
+                    ),
+                )
             elif ligand_sdf is not None:
                 from physdock_tpu.data.mol import read_sdf
 

@@ -49,6 +49,10 @@ class Molecule:
         if self.coords is not None:
             self.coords = np.asarray(self.coords, np.float32)
         self._rings = None
+        # per-atom explicit hydrogen counts (-1 = unspecified): set by the
+        # SMILES bracket parser ([nH], [NH3+]) and by remove_hydrogens;
+        # overrides the default-valence implicit-H computation
+        self.explicit_h: Optional[np.ndarray] = None
 
     @property
     def num_atoms(self) -> int:
@@ -187,11 +191,16 @@ class Molecule:
         return v
 
     def implicit_valence(self) -> np.ndarray:
-        """Implicit hydrogens: default valence + charge adjustment - explicit."""
+        """Implicit hydrogens: default valence + charge adjustment - explicit.
+        Atoms with a recorded explicit H count ([nH]/[NH3+] brackets, or
+        hydrogens stripped by remove_hydrogens) use that count directly."""
         ev = self.explicit_valence()
         out = np.zeros(self.num_atoms, np.int8)
         arom = self.aromatic_atoms()
         for a in range(self.num_atoms):
+            if self.explicit_h is not None and self.explicit_h[a] >= 0:
+                out[a] = min(int(self.explicit_h[a]), 8)
+                continue
             z = int(self.atomic_numbers[a])
             dv = _DEFAULT_VALENCE.get(z, 0)
             chg = int(self.charges[a])
@@ -456,13 +465,31 @@ def remove_hydrogens(mol: Molecule) -> Molecule:
         for i, j, o in mol.bonds
         if keep[i] and keep[j]
     ]
-    return Molecule(
+    # record stripped H counts so implicit_valence stays chemistry-true
+    # for charged/odd-valence atoms after removal
+    n_h = np.zeros(mol.num_atoms, np.int32)
+    for i, j, _ in mol.bonds:
+        if not keep[i] and keep[j]:
+            n_h[j] += 1
+        elif not keep[j] and keep[i]:
+            n_h[i] += 1
+    out = Molecule(
         mol.atomic_numbers[keep],
         mol.charges[keep],
         bonds,
         mol.coords[keep] if mol.coords is not None else None,
         mol.name,
     )
+    if n_h[keep].any():
+        eh = np.full(out.num_atoms, -1, np.int8)
+        if mol.explicit_h is not None:
+            eh = mol.explicit_h[keep].copy()
+        had_h = n_h[keep] > 0
+        eh[had_h] = np.minimum(n_h[keep][had_h], 8)
+        out.explicit_h = eh
+    elif mol.explicit_h is not None:
+        out.explicit_h = mol.explicit_h[keep].copy()
+    return out
 
 
 def write_sdf(

@@ -46,6 +46,7 @@ def parse_smiles(smiles: str) -> Molecule:
     charges: List[int] = []
     aromatic_atom: List[bool] = []
     chiral: List[Optional[str]] = []
+    hcounts: List[int] = []  # explicit H count; -1 = unspecified (organic subset)
     bonds: List[Tuple[int, int, float]] = []
 
     prev: List[Optional[int]] = [None]  # stack of attachment points
@@ -57,11 +58,12 @@ def parse_smiles(smiles: str) -> Molecule:
     i = 0
     n = len(smiles)
 
-    def add_atom(z, charge, arom, chi):
+    def add_atom(z, charge, arom, chi, hcount=-1):
         atoms.append(z)
         charges.append(charge)
         aromatic_atom.append(arom)
         chiral.append(chi)
+        hcounts.append(hcount)
         return len(atoms) - 1
 
     def close_bond(a, b, order):
@@ -127,7 +129,9 @@ def parse_smiles(smiles: str) -> Molecule:
                     chg = int(cs[1:]) * (1 if cs[0] == "+" else -1)
                 else:
                     chg = cs.count("+") - cs.count("-")
-            idx = add_atom(z, chg, arom, m.group("chiral"))
+            hs = m.group("hcount")
+            hcount = 0 if hs is None else (1 if hs == "H" else int(hs[1:]))
+            idx = add_atom(z, chg, arom, m.group("chiral"), hcount)
             if prev[-1] is not None:
                 close_bond(prev[-1], idx, pending_bond)
                 if pending_dir is not None:
@@ -168,6 +172,8 @@ def parse_smiles(smiles: str) -> Molecule:
     )
     mol._smiles_chirality = chiral  # CW/CCW tags, applied post-embedding
     mol.stereo_bonds = _derive_stereo_bonds(bonds, dir_bonds)
+    if any(h >= 0 for h in hcounts):
+        mol.explicit_h = np.array(hcounts, np.int8)
     return mol
 
 
@@ -200,10 +206,30 @@ def _derive_stereo_bonds(bonds, dir_bonds):
     return out
 
 
-def mol_from_smiles(smiles: str, embed: bool = True, seed: int = 0) -> Molecule:
+def mol_from_smiles(
+    smiles: str,
+    embed: bool = True,
+    seed: int = 0,
+    normalize: bool = True,
+    protonate_ph: Optional[float] = None,
+    canonical_tautomer: bool = False,
+) -> Molecule:
     """Parse + 3D-embed (equivalent of get_ref_mol: MolFromSmiles ->
-    EmbedMolecule -> RemoveAllHs; tools/rdkit.py:14-28)."""
+    EmbedMolecule -> RemoveAllHs; tools/rdkit.py:14-28).  `normalize`
+    mirrors RDKit sanitization's charge-separation cleanup; `protonate_ph`
+    / `canonical_tautomer` are the opt-in ligand-prep extensions
+    (data/protomers.py).  Graph transforms run before embedding so the
+    conformer matches the final bond orders."""
     mol = parse_smiles(smiles)
+    if normalize or protonate_ph is not None or canonical_tautomer:
+        from physdock_tpu.data import protomers
+
+        if protonate_ph is not None:
+            mol = protomers.adjust_protonation(mol, ph=protonate_ph)
+        elif normalize:
+            mol = protomers.normalize(mol)
+        if canonical_tautomer:
+            mol = protomers.canonical_tautomer(mol)
     if embed:
         from physdock_tpu.data.embed import embed_molecule
 
