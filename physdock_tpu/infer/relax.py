@@ -30,19 +30,36 @@ def relax_complex(
     ca_restraint: float = 100.0,
     sidechain_restraint: float = 1.0,
     clash_weight: float = 10.0,
+    elec_weight: float = 0.5,
 ) -> np.ndarray:
     """Minimize ligand strain + interface clashes with the receptor pinned.
 
-    Pure-numpy gradient descent (host-side post-processing; sizes are small).
+    Pure-numpy gradient descent (host-side post-processing; sizes are
+    small).  The interface force field is united-atom: implicit hydrogens
+    inflate heavy-atom radii, and ligand (PEOE) vs receptor (typed
+    amber-style) partial charges add a Coulomb term with the classic
+    distance-dependent dielectric eps = 4r — the in-house stand-in for the
+    reference's amber14+GBN2 minimization (data/relaxation.py:243-259).
     """
     mol: Optional[Molecule] = meta.get("ref_mol")
     lig_idx = np.asarray(meta["ligand_atom_idx"])
     if mol is None or len(lig_idx) != mol.num_atoms:
         return x_pred
+    names = meta["atom_names"]
+    if len(names) < len(x_pred):
+        # pose arrays carry bucket padding past the real atoms; relax the
+        # real prefix and pass the padding through untouched
+        if len(lig_idx) and int(lig_idx.max()) >= len(names):
+            return x_pred
+        out = np.array(x_pred, np.float32)
+        out[: len(names)] = relax_complex(
+            x_pred[: len(names)], meta, iters, ca_restraint,
+            sidechain_restraint, clash_weight, elec_weight,
+        )
+        return out
     x = np.array(x_pred, np.float64)
     anchor = x.copy()
 
-    names = meta["atom_names"]
     is_ca = np.array([n.strip() == "CA" for n in names], bool)
     is_lig = np.zeros(len(x), bool)
     is_lig[lig_idx] = True
@@ -60,6 +77,34 @@ def relax_complex(
 
     lr = 5e-3
     rec_idx = np.nonzero(shell)[0]
+
+    # united-atom radii + partial charges (computed once per call)
+    from physdock_tpu.data.charges import (
+        gasteiger_charges,
+        receptor_charges_from_meta,
+    )
+    from physdock_tpu.data.protomers import total_h_counts
+
+    nh = total_h_counts(mol)
+    lig_vdw = np.array([_VDW.get(int(z), 1.7) for z in zl]) + np.minimum(
+        0.1 * nh, 0.3
+    )
+    q_lig = q_rec = None
+    if elec_weight > 0 and len(rec_idx):
+        try:
+            q_lig = getattr(mol, "_peoe_cache", None)
+            if q_lig is None:
+                q_lig = gasteiger_charges(mol)
+                try:
+                    mol._peoe_cache = q_lig
+                except Exception:
+                    pass
+            q_rec = receptor_charges_from_meta(meta, rec_idx)
+            if not np.any(q_rec):
+                q_lig = q_rec = None
+        except Exception:
+            q_lig = q_rec = None
+
     for _ in range(iters):
         g = np.zeros_like(x)
         # ligand internal restraints
@@ -70,15 +115,24 @@ def relax_complex(
         coef = (2 * rs.weights * (d - rs.targets) / d)[:, None] * dv
         np.add.at(g, gi, coef)
         np.add.at(g, gj, -coef)
-        # ligand-receptor clash repulsion
+        # ligand-receptor clash repulsion + electrostatics
         if len(rec_idx):
             dv = x[lig_idx][:, None] - x[rec_idx][None]
             d = np.linalg.norm(dv, axis=-1) + 1e-9
-            rmin = 0.85 * (
-                np.array([_VDW.get(int(z), 1.7) for z in zl])[:, None] + 1.6
-            )
+            rmin = 0.85 * (lig_vdw[:, None] + 1.6)
             viol = np.maximum(rmin - d, 0.0)
             coef = (-2 * clash_weight * viol / d)[..., None] * dv
+            if q_lig is not None:
+                # E = w * (332/4) * q_i q_j / d^2  (eps = 4d); grad wrt
+                # x_lig is dE/dd * dv/d = -2 E / d^2 * dv.  Distance is
+                # floored at vdW contact so attraction can never beat the
+                # clash wall at short range.
+                de = np.maximum(d, 2.5)
+                e_ij = (
+                    elec_weight * 83.0 * np.outer(q_lig, q_rec) / (de * de)
+                )
+                live = (d >= 2.5).astype(np.float64)  # flat inside the floor
+                coef = coef + (-2.0 * e_ij * live / (de * d))[..., None] * dv
             np.add.at(g, lig_idx, coef.sum(axis=1))
             np.add.at(g, rec_idx, -coef.sum(axis=0))
         # positional restraints
