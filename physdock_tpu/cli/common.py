@@ -57,6 +57,14 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--smiles_canonical_tautomer", action="store_true",
                    help="canonicalize SMILES ligand tautomers before "
                         "embedding (data/protomers.py)")
+    p.add_argument("--enable_confidence", action="store_true",
+                   help="score poses with the trained confidence head "
+                        "(pLDDT/PAE/pTM/ipTM per pose; requires params "
+                        "trained with the head)")
+    p.add_argument("--confidence_ranking", action="store_true",
+                   help="rank poses by 0.8*ipTM + 0.2*pTM - has_clash "
+                        "instead of geometric KMeans medoids (implies "
+                        "--enable_confidence)")
 
 
 def build_pipeline(args):
@@ -87,6 +95,7 @@ def build_pipeline(args):
         smiles_protonate_ph=args.smiles_protonate_ph,
         smiles_canonical_tautomer=args.smiles_canonical_tautomer,
     )
+    want_confidence = args.enable_confidence or args.confidence_ranking
     from physdock_tpu.data.ccd import CCDLibrary
 
     fz_kwargs = dict(
@@ -111,7 +120,7 @@ def build_pipeline(args):
         )
     else:
         featurizer = SystemFeaturizer(cfg.data, **fz_kwargs)
-    params = load_params(args.params, cfg)
+    params = load_params(args.params, cfg, with_confidence=want_confidence)
     settings = SamplerSettings(
         max_samples=args.max_samples,
         num_samples_per_round=args.num_samples_per_round,
@@ -126,11 +135,13 @@ def build_pipeline(args):
         enable_sidechain_relaxation=args.enable_sidechain_relaxation,
         align_mode=args.align_mode,
         seed=args.seed,
+        enable_confidence=want_confidence,
+        confidence_ranking=args.confidence_ranking,
     )
     return DockingPipeline(cfg, params, featurizer, settings)
 
 
-def load_params(path: Optional[str], cfg):
+def load_params(path: Optional[str], cfg, with_confidence: bool = False):
     """Load params from a torch .pt (converted), an orbax checkpoint dir, or
     initialize randomly when absent (useful for smoke runs)."""
     if path is None:
@@ -139,14 +150,22 @@ def load_params(path: Optional[str], cfg):
         from physdock_tpu.data.synthetic import make_synthetic_batch
         from physdock_tpu.model.physdock import PhysDock
 
-        model = PhysDock(cfg=cfg.model, dtype=cfg.dtypes.compute_dtype)
+        model = PhysDock(
+            cfg=cfg.model, dtype=cfg.dtypes.compute_dtype,
+            with_confidence=with_confidence,
+        )
         b = {
             k: jnp.asarray(v)
             for k, v in make_synthetic_batch(
                 n_tokens=16, n_atoms=48, n_msa=4
             ).items()
         }
-        return jax.jit(model.init)(jax.random.PRNGKey(0), b, jax.random.PRNGKey(1))
+        # init_all also creates the confidence head's params when enabled
+        # (the training forward alone doesn't touch it)
+        method = "init_all" if with_confidence else None
+        return jax.jit(model.init, static_argnames=("method",))(
+            jax.random.PRNGKey(0), b, jax.random.PRNGKey(1), method=method
+        )
     if path.endswith(".pt"):
         from physdock_tpu.model.import_weights import import_checkpoint
 

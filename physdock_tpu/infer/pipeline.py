@@ -61,6 +61,12 @@ class SamplerSettings:
     enable_sidechain_relaxation: bool = False
     align_mode: str = "pocket_ca"
     seed: int = 0
+    # confidence head at inference (requires params trained with the head,
+    # cfg.model.with_confidence): per-pose pLDDT/PAE/pTM/ipTM metrics, and
+    # optionally ranking by 0.8*ipTM + 0.2*pTM - has_clash instead of the
+    # geometric KMeans medoids (the fused-confidence ranking path)
+    enable_confidence: bool = False
+    confidence_ranking: bool = False
 
 
 class DockingPipeline:
@@ -72,12 +78,13 @@ class DockingPipeline:
         settings: Optional[SamplerSettings] = None,
     ):
         self.config = config
+        self.s = settings or SamplerSettings()
         self.model = PhysDock(
-            cfg=config.model, dtype=config.dtypes.compute_dtype
+            cfg=config.model, dtype=config.dtypes.compute_dtype,
+            with_confidence=self.s.enable_confidence,
         )
         self.params = params
         self.featurizer = featurizer  # SystemFeaturizer or FeaturizerWorker
-        self.s = settings or SamplerSettings()
         self._jit_cond = jax.jit(
             lambda p, b: self.model.apply(p, b, method="conditioning")
         )
@@ -85,6 +92,7 @@ class DockingPipeline:
         # call would discard XLA's compile cache and recompile every system
         self._jit_sample = None
         self._jit_sample_batched = None
+        self._jit_conf = None
         self._jit_cond_batched = None
 
     # ----------------------------------------------------------- featurize
@@ -301,7 +309,9 @@ class DockingPipeline:
         # postprocess (align/rank/score) is offloaded to the same worker so
         # it overlaps the NEXT system's device rounds; FIFO ordering means
         # all load responses drain before the first post response
-        offload = not self.s.enable_sidechain_relaxation
+        offload = not (
+            self.s.enable_sidechain_relaxation or self.s.enable_confidence
+        )
         results: List[Dict] = []
         pending = []
         for i, _ in enumerate(systems):
@@ -545,6 +555,11 @@ class DockingPipeline:
         poses = (
             protocol.final_poses() if guided else np.asarray(x)[: s.max_samples]
         )
+        conf_metrics = rank_scores = None
+        if s.enable_confidence:
+            conf_metrics, rank_scores = self._confidence_scores(
+                batch, conditioning, poses, feats
+            )
         timings["rounds_s"] = round(time.time() - t_start - t_feat, 3)
         if defer_post:
             return dict(
@@ -555,6 +570,8 @@ class DockingPipeline:
             feats, meta, poses, output_dir,
             remove_ligand=remove_ligand, smi=smi, rounds_run=rounds_run,
             t_feat=t_feat, t_start=t_start, write_outputs=write_outputs,
+            conf_metrics=conf_metrics,
+            rank_scores=rank_scores if s.confidence_ranking else None,
         )
         res["timings"] = timings
         return res
@@ -576,6 +593,42 @@ class DockingPipeline:
 
     # -------------------------------------------------------- post-processing
 
+    def _confidence_scores(self, batch, conditioning, poses, feats):
+        """Per-pose confidence metrics from the trained head (requires
+        cfg.model.with_confidence params).  Scores every selected pose with
+        the current round's trunk embeddings (s, z) — the AF3-style usage
+        where confidence rides the same conditioning as the denoiser.
+        Returns (metrics list, ranking_confidence array)."""
+        if not self.model.with_confidence:
+            raise ValueError(
+                "enable_confidence requires a model/params built with "
+                "with_confidence=True (train with --mini-rollout)"
+            )
+        if self._jit_conf is None:
+            self._jit_conf = jax.jit(
+                lambda p, b, s_emb, z_emb, x: self.model.apply(
+                    p, b, s_emb, z_emb, x, method="confidence"
+                )
+            )
+        from physdock_tpu.infer import metrics as metrics_lib
+
+        _, _, s_emb, z_emb = conditioning
+        out, scores = [], []
+        for i in range(len(poses)):
+            p_pae, p_pde, p_plddt = self._jit_conf(
+                self.params, batch, s_emb, z_emb,
+                jnp.asarray(poses[i : i + 1]),
+            )
+            m = metrics_lib.get_metrics(
+                np.asarray(p_pae, np.float32),
+                np.asarray(p_plddt, np.float32),
+                poses[i],
+                feats,
+            )
+            out.append(m)
+            scores.append(m["ranking_confidence"])
+        return out, np.asarray(scores, np.float32)
+
     def _postprocess(
         self,
         feats,
@@ -590,6 +643,8 @@ class DockingPipeline:
         t_start: float,
         write_outputs: bool,
         post=None,
+        conf_metrics=None,
+        rank_scores=None,
     ) -> Dict:
         """Align to the GT pocket-CA frame, optionally relax, rank, score,
         and write outputs (redocking.py:341-447).  `post` short-circuits the
@@ -610,7 +665,8 @@ class DockingPipeline:
 
             args = self._post_args(feats, meta, remove_ligand, smi)
             post = ranking_lib.postprocess_poses(
-                poses, args.pop("x_gt"), relax_fn=relax_fn, **args
+                poses, args.pop("x_gt"), relax_fn=relax_fn,
+                rank_scores=rank_scores, **args
             )
         aligned, order, lig_rmsds = post
 
@@ -623,6 +679,9 @@ class DockingPipeline:
             "feat_time_s": round(t_feat, 3),
             "total_time_s": round(time.time() - t_start, 3),
         }
+        if conf_metrics is not None:
+            # rank-ordered so confidence[0] belongs to pred_rank0
+            result["confidence"] = [conf_metrics[i] for i in order]
 
         if write_outputs:
             os.makedirs(output_dir, exist_ok=True)
@@ -646,6 +705,11 @@ class DockingPipeline:
                 dump_json(
                     {"top5_rmsd": lig_rmsds[:5], "rank_order": order},
                     os.path.join(output_dir, "top5_rmsd.json"),
+                )
+            if conf_metrics is not None:
+                dump_json(
+                    result["confidence"],
+                    os.path.join(output_dir, "confidence.json"),
                 )
         return result
 

@@ -119,12 +119,16 @@ def postprocess_poses(
     enable_ranking: bool,
     compute_rmsd: bool,
     relax_fn=None,
+    rank_scores=None,
 ):
     """Pocket-frame align, (optionally relax,) rank and score poses
     (redocking.py:341-447 host stages).  Pure numpy: runs inline or inside
     the featurizer worker subprocess — pipeline.dock_many offloads it there
     so it overlaps the next system's device rounds instead of idling the
-    device.  Returns (aligned [S, A, 3], rank order, lig_rmsds | None)."""
+    device.  Returns (aligned [S, A, 3], rank order, lig_rmsds | None).
+
+    `rank_scores` (per-pose, higher = better — e.g. the confidence head's
+    ranking_confidence) overrides the geometric KMeans-medoid ranking."""
     pocket_tok = pocket_res * is_protein
     pocket_ca = np.zeros(len(a_mask), np.float32)
     sel = centre_ids[(pocket_tok > 0) & (s_mask > 0)]
@@ -136,7 +140,9 @@ def postprocess_poses(
     if relax_fn is not None:
         aligned = relax_fn(aligned)
     order = list(range(len(aligned)))
-    if enable_ranking and len(lig_idx):
+    if rank_scores is not None:
+        order = [int(i) for i in np.argsort(-np.asarray(rank_scores))]
+    elif enable_ranking and len(lig_idx):
         order = rank_poses(aligned[:, lig_idx], n_clusters=5)
     lig_rmsds = None
     if compute_rmsd and len(lig_idx):
