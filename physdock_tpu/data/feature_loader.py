@@ -122,11 +122,31 @@ class SystemFeaturizer:
         rng: Optional[np.random.Generator] = None,
         num_msa_rounds: int = 1,
     ) -> Tuple[Dict[str, np.ndarray], Dict]:
-        rng = rng or self.rng
         system_id = "system"
         if isinstance(system, str):
             system_id = os.path.basename(system).replace(".pkl.gz", "").replace(".pkl", "")
             system = load_pkl(system)
+        if rng is None:
+            if self.inference_mode:
+                # INFERENCE IS DETERMINISTIC PER (seed, system): a fresh
+                # per-load generator makes features independent of load
+                # order / call count, so repeated loads, the worker's disk
+                # cache (hit == recompute), and train-then-dock closed
+                # loops all see identical draws.  A shared mutable stream
+                # here is how the round-3 overfit gate silently evaluated
+                # on features the model had never seen.
+                import hashlib
+
+                h = hashlib.md5(
+                    f"{self.seed}:{system_id}".encode()
+                ).digest()
+                rng = np.random.default_rng(
+                    np.frombuffer(h, dtype=np.uint64)
+                )
+            else:
+                # training keeps the persistent stream: every epoch must
+                # see fresh crops / MSA resamples / augmentations
+                rng = self.rng
         receptor_ids = [c for c in system if not c.isdigit()]
         ligand_ids = [c for c in system if c.isdigit()]
 
