@@ -40,6 +40,23 @@ from physdock_tpu.model.physdock import PhysDock
 from physdock_tpu.utils.io import dump_json
 
 
+def _json_safe(d: Dict) -> Dict:
+    """numpy scalars/arrays -> plain python for json dumps."""
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, (np.bool_, bool)):
+            out[k] = bool(v)
+        elif isinstance(v, (np.integer, int)):
+            out[k] = int(v)
+        elif isinstance(v, (np.floating, float)):
+            out[k] = round(float(v), 4)
+        elif isinstance(v, np.ndarray):
+            out[k] = v.tolist()
+        else:
+            out[k] = v
+    return out
+
+
 @dataclasses.dataclass
 class SamplerSettings:
     """Flag surface of the reference CLIs (redocking.py:460-487)."""
@@ -675,6 +692,7 @@ class DockingPipeline:
             "num_poses": len(aligned),
             "rank_order": order,
             "top5_rmsd": lig_rmsds[:5] if lig_rmsds else None,
+            "all_rmsd": lig_rmsds,  # rank-ordered, every pose
             "rounds": rounds_run,
             "feat_time_s": round(t_feat, 3),
             "total_time_s": round(time.time() - t_start, 3),
@@ -710,6 +728,19 @@ class DockingPipeline:
                 dump_json(
                     result["confidence"],
                     os.path.join(output_dir, "confidence.json"),
+                )
+            if len(lig_idx) and meta.get("ref_mol") is not None:
+                # per-pose validity verdicts for the written top-5, the
+                # native equivalent of the reference's PoseBusters table
+                # (data/relaxation.py:29-50 get_bust_results)
+                from physdock_tpu.infer.relax import check_pose
+
+                report = [
+                    {"rank": rank, **_json_safe(check_pose(aligned[idx], meta))}
+                    for rank, idx in enumerate(order[:5])
+                ]
+                dump_json(
+                    report, os.path.join(output_dir, "bust_report.json")
                 )
         return result
 

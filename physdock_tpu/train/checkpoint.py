@@ -51,7 +51,13 @@ def _prune(ckpt_dir: str, keep: int) -> None:
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None
-    ckpts = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    ckpts = sorted(
+        d
+        for d in os.listdir(ckpt_dir)
+        # a crash mid-save leaves step_N.orbax-checkpoint-tmp — resuming
+        # from it fails; only complete saves count
+        if d.startswith("step_") and not d.endswith("-tmp")
+    )
     return os.path.join(ckpt_dir, ckpts[-1]) if ckpts else None
 
 

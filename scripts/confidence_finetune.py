@@ -1,0 +1,244 @@
+"""Train the confidence head "in anger" on the overfit-gate systems and
+use it for ranking (the fused-confidence path; VERDICT r2 weak #7).
+
+Takes the gate's trained denoiser (scripts/overfit_gate.py checkpoint),
+grafts a freshly-initialized ConfidenceModule next to it, and fine-tunes
+ONLY the head (optax.masked zeroes every other update) through the
+mini-rollout path: short no-grad EDM rollout -> PAE/PDE/pLDDT cross
+entropies (reference loss_module3.py:599-610, train.sh --mini-rollout).
+Then docks the 4 demo systems with confidence_ranking=True and reports
+the per-pose (ranking_confidence, ligand RMSD) Spearman correlation —
+a trained head must rank good poses above bad ones.
+
+Writes CONFIDENCE_GATE.json.
+
+Run (TPU, after the overfit gate):
+  scripts/tpu_retry.sh /tmp/conf_ft.log 7200 python scripts/confidence_finetune.py
+CPU smoke:
+  python scripts/confidence_finetune.py --cpu --steps 2 --crop 64 \
+      --atom_crop 512 --aug 2 --rollout 2 --dock_poses 3 --dock_steps 2
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEMO_DIR = "/root/reference/demo/redocking/Posebusters_subset"
+DEMO_MSA = "/root/reference/demo/redocking/features"
+
+
+def spearman(a, b):
+    import numpy as np
+
+    ra = np.argsort(np.argsort(a)).astype(np.float64)
+    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    d = np.sqrt((ra**2).sum() * (rb**2).sum())
+    return float((ra * rb).sum() / d) if d > 0 else 0.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--crop", type=int, default=128)
+    p.add_argument("--atom_crop", type=int, default=1024)
+    p.add_argument("--aug", type=int, default=8)
+    p.add_argument("--rollout", type=int, default=12)
+    p.add_argument("--model", default="toy")
+    p.add_argument("--gate_dir", default="/root/repo/_overfit")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--out", default="/root/repo/_confidence")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dock_steps", type=int, default=40)
+    p.add_argument("--dock_poses", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from physdock_tpu.utils.compile_cache import enable as enable_cc
+
+    enable_cc()
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    from physdock_tpu.config import PhysDockConfig
+    from physdock_tpu.data.feat_worker import FeaturizerWorker
+    from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
+    from physdock_tpu.model.physdock import PhysDock
+    from physdock_tpu.parallel.mesh import make_mesh
+    from physdock_tpu.train import checkpoint as ckpt_lib
+    from physdock_tpu.train.optim import make_optimizer
+    from physdock_tpu.train.step import init_train_state, make_train_step
+
+    cfg = PhysDockConfig.named(
+        args.model,
+        crop_size=args.crop,
+        atom_crop_size=args.atom_crop,
+        bf16=on_tpu,
+        infer_use_pocket=True,
+        infer_use_key_res=True,
+        num_augmentation_sample=args.aug,
+    )
+    model = PhysDock(
+        cfg=cfg.model, dtype=cfg.dtypes.compute_dtype, with_confidence=True
+    )
+    worker = FeaturizerWorker(
+        cfg.data, cache_dir=os.path.join(args.gate_dir, "featcache"),
+        msa_features_dir=f"{DEMO_MSA}/msa_features",
+        uniprot_msa_features_dir=f"{DEMO_MSA}/uniprot_msa_features",
+        inference_mode=True, seed=args.seed,
+    )
+    systems = sorted(glob.glob(f"{DEMO_DIR}/*.pkl.gz"))
+    feats_list = []
+    for s in systems:
+        f, meta, _ = worker.load(s, num_msa_rounds=4)
+        feats_list.append(dict(f))
+        print(f"featurized {meta['system_id']}", flush=True)
+
+    # shape-signature groups (static buckets), as in the gate
+    groups: dict = {}
+    for idx, f in enumerate(feats_list):
+        sig = tuple(sorted((k, np.shape(v)) for k, v in f.items()))
+        groups.setdefault(sig, []).append(idx)
+    group_idx = list(groups.values())
+
+    # graft: gate params for shared modules + fresh init for the head
+    ckpt = args.ckpt or ckpt_lib.latest_checkpoint(
+        os.path.join(args.gate_dir, "ckpts")
+    )
+    gate = ckpt_lib.restore_train_state(ckpt)
+    print(f"gate ckpt {ckpt} (step {gate['step']})", flush=True)
+    micro0 = {k: jnp.asarray(v) for k, v in feats_list[0].items()}
+    full_init = jax.jit(model.init, static_argnames=("method",))(
+        jax.random.PRNGKey(args.seed), micro0, jax.random.PRNGKey(1),
+        method="init_all",
+    )
+    merged = dict(full_init["params"])
+    for k, v in gate["ema_params"]["params"].items():
+        merged[k] = v
+    params = {"params": merged}
+    assert "confidence_module" in merged
+
+    def head_mask(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: any(
+                getattr(k, "key", None) == "confidence_module" for k in path
+            ),
+            tree,
+        )
+
+    optimizer = optax.masked(
+        make_optimizer(args.lr, warmup_steps=50), head_mask
+    )
+    mesh = make_mesh(dp=1)
+    train_step = make_train_step(
+        model, optimizer, cfg.loss, mesh, sigma_data=cfg.model.sigma_data,
+        use_mini_rollout=True, mini_rollout_steps=args.rollout,
+    )
+    state = init_train_state(params, optimizer)
+
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    logs = {}
+    for step_i in range(args.steps):
+        members = group_idx[step_i % len(group_idx)]
+        batch = {
+            k: jnp.asarray(np.stack([feats_list[i][k] for i in members]))
+            for k in feats_list[0]
+        }
+        key, k_step = jax.random.split(key)
+        state, logs = train_step(state, batch, k_step)
+        if (step_i + 1) % 25 == 0:
+            msg = {
+                k: round(float(v), 4)
+                for k, v in logs.items()
+                if k in ("loss", "plddt_loss", "pae_loss", "pde_loss")
+            }
+            print(
+                f"step {step_i+1} {msg} "
+                f"({(time.time()-t0)/(step_i+1):.2f}s/step)",
+                flush=True,
+            )
+
+    # denoiser untouched: masked updates must leave non-head params equal
+    for k in merged:
+        if k == "confidence_module":
+            continue
+        same = jax.tree_util.tree_all(
+            jax.tree_util.tree_map(
+                lambda a, b: jnp.array_equal(a, b),
+                state.params["params"][k],
+                params["params"][k],
+            )
+        )
+        assert bool(same), f"non-head params moved: {k}"
+    print("denoiser verified frozen", flush=True)
+
+    os.makedirs(os.path.join(args.out, "ckpts"), exist_ok=True)
+    ckpt_lib.save_train_state(os.path.join(args.out, "ckpts"), state, keep=1)
+
+    # dock with the head ranking the poses
+    settings = SamplerSettings(
+        max_samples=2 * args.dock_poses,
+        num_samples_per_round=args.dock_poses,
+        max_rounds=2,
+        steps=args.dock_steps,
+        enable_physics_correction=True,
+        num_confs=64 if on_tpu else 8,
+        enable_ranking=True,
+        enable_confidence=True,
+        confidence_ranking=True,
+        seed=args.seed,
+    )
+    pipe = DockingPipeline(cfg, state.ema_params, worker, settings)
+    results = {}
+    for s in systems:
+        name = os.path.basename(s).replace(".pkl.gz", "")
+        try:
+            r = pipe.dock(
+                s, os.path.join(args.out, "dock", name), write_outputs=True
+            )
+            scores = [m["ranking_confidence"] for m in r["confidence"]]
+            rmsds = r["all_rmsd"]
+            results[name] = {
+                "top_rmsd": float(rmsds[0]),
+                "top5_rmsd": [float(x) for x in rmsds[:5]],
+                "spearman_conf_vs_rmsd": spearman(scores, rmsds),
+                "mean_plddt_top": float(r["confidence"][0]["mean_plddt"]),
+                "iptm_top": float(r["confidence"][0]["iptm"]),
+            }
+        except Exception as e:  # pragma: no cover - surface per-system
+            results[name] = {"error": str(e)}
+        print(f"  {name}: {results[name]}", flush=True)
+    worker.stop()
+
+    ok = all(
+        "top_rmsd" in v and v["top_rmsd"] < 2.0 for v in results.values()
+    )
+    out = {
+        "pass": ok,
+        "steps": args.steps,
+        "rollout": args.rollout,
+        "final_logs": {k: round(float(v), 4) for k, v in logs.items()},
+        "results": results,
+    }
+    with open("/root/repo/CONFIDENCE_GATE.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,13 @@ def test_checkpoint_roundtrip(tmp_path, toy_config):
     p = ck.restore_params(path)
     np.testing.assert_array_equal(p["w"], np.arange(4.0))
 
+    # a crash mid-save leaves an .orbax-checkpoint-tmp dir; auto-resume
+    # must skip it (the gate's tpu_retry resume path depends on this)
+    import os
+
+    os.makedirs(str(tmp_path / "step_00000099.orbax-checkpoint-tmp"))
+    assert ck.latest_checkpoint(str(tmp_path)) == path
+
 
 def test_mini_rollout_confidence_training(toy_config):
     """Mini-rollout path (loss_module3.py:599-610 + train.sh
