@@ -206,6 +206,12 @@ def check_pose(
     out = {"has_ligand": mol is not None and len(lig_idx) == getattr(mol, "num_atoms", -1)}
     if not out["has_ligand"]:
         return out
+    x_pred = np.asarray(x_pred)
+    if meta.get("atom_names") is not None:
+        # pose arrays carry bucket padding past the real atoms (relax.py:48
+        # handles the same); padded rows sit at the origin and would read
+        # as phantom receptor clashes
+        x_pred = x_pred[: len(meta["atom_names"])]
     lig = np.asarray(x_pred)[lig_idx]
     z = mol.atomic_numbers
     n = mol.num_atoms

@@ -132,16 +132,27 @@ def main():
     params = {"params": merged}
     assert "confidence_module" in merged
 
-    def head_mask(tree):
+    def labels(tree):
+        # optax.masked would pass RAW grads through for unmasked leaves;
+        # multi_transform lets the frozen partition be explicitly zeroed
         return jax.tree_util.tree_map_with_path(
-            lambda path, _: any(
-                getattr(k, "key", None) == "confidence_module" for k in path
+            lambda path, _: (
+                "head"
+                if any(
+                    getattr(k, "key", None) == "confidence_module"
+                    for k in path
+                )
+                else "frozen"
             ),
             tree,
         )
 
-    optimizer = optax.masked(
-        make_optimizer(args.lr, warmup_steps=50), head_mask
+    optimizer = optax.multi_transform(
+        {
+            "head": make_optimizer(args.lr, warmup_steps=50),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
     )
     mesh = make_mesh(dp=1)
     train_step = make_train_step(
