@@ -51,8 +51,11 @@ def karras_noise_schedule(
     Returned on host (numpy) — it is static per (steps, rho).
     """
     i = np.arange(num_steps, dtype=np.float64)
+    # num_steps=1 (a single denoise from s_max, e.g. the shortest
+    # mini-rollout) must not divide 0/0
+    denom = max(num_steps - 1, 1)
     t = sigma_data * (
-        s_max ** (1 / rho) + i / (num_steps - 1) * (s_min ** (1 / rho) - s_max ** (1 / rho))
+        s_max ** (1 / rho) + i / denom * (s_min ** (1 / rho) - s_max ** (1 / rho))
     ) ** rho
     return np.concatenate([t, [0.0]]).astype(np.float32)
 

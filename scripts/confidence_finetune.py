@@ -155,10 +155,20 @@ def main():
         labels,
     )
     mesh = make_mesh(dp=1)
-    train_step = make_train_step(
-        model, optimizer, cfg.loss, mesh, sigma_data=cfg.model.sigma_data,
-        use_mini_rollout=True, mini_rollout_steps=args.rollout,
-    )
+    # a memorized denoiser's full rollouts are all near-GT, which would
+    # train the head on constant "perfect" labels (it collapses to a
+    # constant score — measured: pLDDT pinned at 97.0000, iptm identical
+    # to 7 decimals across systems).  Alternating short rollouts mixes
+    # bad/medium poses into the stream so the lddt/pae/pde labels span
+    # their bins and the head learns to DISCRIMINATE.
+    rollouts = sorted({args.rollout, 4, 2})
+    steps_by_rollout = [
+        make_train_step(
+            model, optimizer, cfg.loss, mesh, sigma_data=cfg.model.sigma_data,
+            use_mini_rollout=True, mini_rollout_steps=r,
+        )
+        for r in rollouts
+    ]
     state = init_train_state(params, optimizer)
 
     key = jax.random.PRNGKey(args.seed)
@@ -171,6 +181,7 @@ def main():
             for k in feats_list[0]
         }
         key, k_step = jax.random.split(key)
+        train_step = steps_by_rollout[step_i % len(steps_by_rollout)]
         state, logs = train_step(state, batch, k_step)
         if (step_i + 1) % 25 == 0:
             msg = {
@@ -234,17 +245,61 @@ def main():
         except Exception as e:  # pragma: no cover - surface per-system
             results[name] = {"error": str(e)}
         print(f"  {name}: {results[name]}", flush=True)
+
+    # discrimination probe: a trained head must score the GT pose above
+    # the same pose with the ligand displaced (2/5/10 A along a fixed
+    # direction).  This is the claim the docked-pose spearman cannot make
+    # when every docked pose is already near-GT.
+    from physdock_tpu.infer import metrics as metrics_lib
+
+    jit_cond = jax.jit(lambda p, b: model.apply(p, b, method="conditioning"))
+    jit_conf = jax.jit(
+        lambda p, b, s_emb, z_emb, x: model.apply(
+            p, b, s_emb, z_emb, x, method="confidence"
+        )
+    )
+    discrimination = {}
+    for sysp in systems:
+        f, meta, _ = worker.load(sysp, num_msa_rounds=1)
+        name = meta["system_id"]
+        batch = {k: jnp.asarray(v) for k, v in f.items()}
+        _, _, s_emb, z_emb = jit_cond(state.ema_params, batch)
+        lig = np.asarray(meta["ligand_atom_idx"])
+        x_gt = np.asarray(f["x_gt"], np.float32)
+        shift = np.array([1.0, 1.0, 1.0], np.float32) / np.sqrt(3.0)
+        scores = {}
+        for dist in (0.0, 2.0, 5.0, 10.0):
+            x = x_gt.copy()
+            x[lig] = x[lig] + dist * shift
+            p_pae, _, p_plddt = jit_conf(
+                state.ema_params, batch, s_emb, z_emb, jnp.asarray(x)[None]
+            )
+            m = metrics_lib.get_metrics(
+                np.asarray(p_pae, np.float32),
+                np.asarray(p_plddt, np.float32),
+                x, f,
+            )
+            scores[f"shift_{dist:g}A"] = {
+                "ranking_confidence": round(float(m["ranking_confidence"]), 4),
+                "mean_plddt": round(float(m["mean_plddt"]), 2),
+                "iptm": round(float(m["iptm"]), 4),
+            }
+        rc = [scores[f"shift_{d:g}A"]["ranking_confidence"] for d in (0, 2, 5, 10)]
+        scores["discriminates"] = bool(rc[0] > rc[2] > rc[3])
+        discrimination[name] = scores
+        print(f"  discrimination {name}: {scores}", flush=True)
     worker.stop()
 
     ok = all(
         "top_rmsd" in v and v["top_rmsd"] < 2.0 for v in results.values()
-    )
+    ) and all(d["discriminates"] for d in discrimination.values())
     out = {
         "pass": ok,
         "steps": args.steps,
-        "rollout": args.rollout,
+        "rollouts": rollouts,
         "final_logs": {k: round(float(v), 4) for k, v in logs.items()},
         "results": results,
+        "discrimination": discrimination,
     }
     with open("/root/repo/CONFIDENCE_GATE.json", "w") as f:
         json.dump(out, f, indent=1)

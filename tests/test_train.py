@@ -80,6 +80,12 @@ def test_dp8_step_equals_dp1_step(toy_config):
     train step must produce the same params/logs as a single-device step
     on the same global batch (per-sample keys fold the GLOBAL index, and
     the fp32 psum-mean is just a reduction order change)."""
+    # big-compile segfault mitigation, same as
+    # test_mini_rollout_confidence_training below: the XLA CPU backend
+    # segfaults on the suite's largest compiles once ~100 tests' worth of
+    # executables fill its cache; flush first
+    jax.clear_caches()
+
     from physdock_tpu.data.synthetic import make_synthetic_batch
     from physdock_tpu.model.physdock import PhysDock
     from physdock_tpu.parallel.mesh import batch_sharding, make_mesh
