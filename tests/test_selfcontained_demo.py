@@ -103,3 +103,39 @@ def test_selfcontained_redock_end_to_end(tmp_path):
     assert "A" in chains and "B" in chains
     lig = read_sdf(os.path.join(out, "ligand_rank0.sdf"))
     assert lig.num_atoms == 11  # paracetamol heavy atoms
+
+
+@pytest.mark.slow
+def test_selfcontained_screening(tmp_path):
+    """Virtual screening against the synthetic receptor: SMILES library in,
+    per-md5 output dirs out — still zero external assets."""
+    from physdock_tpu.cli.common import load_params
+    from physdock_tpu.config import PhysDockConfig
+    from physdock_tpu.data.demo import make_demo_complex
+    from physdock_tpu.data.feature_loader import SystemFeaturizer
+    from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
+
+    pkl = make_demo_complex(str(tmp_path))
+    cfg = PhysDockConfig.named(
+        "toy", crop_size=64, atom_crop_size=256, num_augmentation_sample=2)
+    fz = SystemFeaturizer(cfg.data, seed=0)
+    params = load_params(None, cfg)
+    pipe = DockingPipeline(
+        cfg,
+        params,
+        fz,
+        SamplerSettings(
+            max_samples=1,
+            num_samples_per_round=1,
+            max_rounds=1,
+            steps=2,
+            enable_physics_correction=False,
+            enable_ranking=False,
+        ),
+    )
+    results = pipe.screen(
+        pkl, ["CCOc1ccccc1", "CCCCO"], str(tmp_path / "vs"), batch_size=2)
+    assert len(results) == 2
+    for r in results:
+        assert "error" not in r, r
+        assert r["num_poses"] == 1
