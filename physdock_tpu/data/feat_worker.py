@@ -57,15 +57,28 @@ def _send(f, obj) -> None:
     f.flush()
 
 
-def _recv(f):
+def _recv(f, timing: Optional[dict] = None):
+    """Read one length-prefixed pickle.  `timing` (if given) splits the
+    wall into header wait (worker latency) vs payload read + unpickle
+    (parent-side cost — the part the PJRT client's relay threads can
+    multiply), to attribute pass-leading load stalls."""
+    import time as _time
+
+    t0 = _time.perf_counter()
     hdr = f.read(8)
+    t1 = _time.perf_counter()
     if len(hdr) < 8:
         raise EOFError("featurizer worker pipe closed")
     (n,) = struct.unpack("<Q", hdr)
     buf = f.read(n)
     if len(buf) < n:
         raise EOFError("featurizer worker pipe truncated")
-    return pickle.loads(buf)
+    obj = pickle.loads(buf)
+    if timing is not None:
+        timing["wait_s"] = round(t1 - t0, 3)
+        timing["read_s"] = round(_time.perf_counter() - t1, 3)
+        timing["mb"] = round(n / 1e6, 2)
+    return obj
 
 
 class FeaturizerWorker:
@@ -176,7 +189,8 @@ class FeaturizerWorker:
                 f"featurizer worker: request {expect} already drained"
             )
         while True:
-            status, rid, payload = _recv(self.proc.stdout)
+            self.last_recv: dict = {}
+            status, rid, payload = _recv(self.proc.stdout, timing=self.last_recv)
             if rid not in self._pending:
                 raise RuntimeError(
                     f"featurizer worker protocol desync: response {rid} "

@@ -336,6 +336,13 @@ class DockingPipeline:
             feats, meta, confs = self.featurizer.result()
             if confs is not None:
                 meta["_conf_bank"] = confs
+            # attribute any load stall: header wait (worker latency) vs
+            # payload read+unpickle (parent-side, PJRT-multiplied)
+            meta["_recv_detail"] = dict(
+                getattr(self.featurizer, "last_recv", {}) or {},
+                worker_s=meta.get("_worker_time_s"),
+                cache=meta.get("_feat_cache", "miss"),
+            )
             out_dir = os.path.join(output_root, str(meta["system_id"]))
             ctx = self._dock_loaded(
                 (feats, meta),
@@ -525,6 +532,8 @@ class DockingPipeline:
             "upload_s": round(t_upload - t_loaded, 3),
             "guidance_s": round(time.time() - t_upload, 3),
         }
+        if meta.get("_recv_detail"):
+            timings["load_detail"] = meta.pop("_recv_detail")
         rounds_run = 0
         x = None
         for rnd in range(s.max_rounds if guided else 1):
