@@ -92,6 +92,22 @@ def main():
         f"{[round(float(r), 4) for r in lig_rmsd]}",
         flush=True,
     )
+    import json
+
+    with open("/root/repo/BF16_DRIFT.json", "w") as f:
+        json.dump(
+            {
+                "ckpt": ckpt,
+                "coord_abs_delta_mean_A": float(coord.mean()),
+                "coord_abs_delta_p99_A": float(np.percentile(coord, 99)),
+                "coord_abs_delta_max_A": float(coord.max()),
+                "per_pose_ligand_rmsd_fp32_vs_bf16_A": [
+                    float(r) for r in lig_rmsd
+                ],
+            },
+            f,
+            indent=1,
+        )
 
 
 if __name__ == "__main__":
