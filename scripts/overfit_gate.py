@@ -40,6 +40,10 @@ def main():
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--out", default="/root/repo/_overfit")
+    p.add_argument(
+        "--gate_out", default="/root/repo/OVERFIT_GATE.json",
+        help="where to write the gate artifact",
+    )
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", default=None, help="orbax ckpt dir to resume")
@@ -251,7 +255,7 @@ def main():
         "final_loss": float(np.mean(losses[-25:])) if losses else None,
         "results": results,
     }
-    with open("/root/repo/OVERFIT_GATE.json", "w") as f:
+    with open(args.gate_out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 
