@@ -170,6 +170,10 @@ def load_params(path: Optional[str], cfg, with_confidence: bool = False):
         from physdock_tpu.model.import_weights import import_checkpoint
 
         return import_checkpoint(path)
+    if path.endswith(".npz"):
+        from physdock_tpu.train.checkpoint import load_params_npz
+
+        return load_params_npz(path)
     from physdock_tpu.train.checkpoint import restore_params
 
     return restore_params(path)

@@ -88,3 +88,40 @@ def restore_params(path: str, prefer_ema: bool = True):
     if isinstance(tree, dict) and "params" in tree and "step" in tree:
         return tree["params"]
     return tree
+
+
+def save_params_npz(path: str, params, dtype=np.float16) -> None:
+    """Save a params pytree as one flat .npz — a compact, restore-proof
+    artifact format (orbax dirs are many files and don't belong in git).
+
+    float16 default: more mantissa bits than the bf16 the model computes
+    in, half the bytes of fp32; weight magnitudes are far inside fp16
+    range (guarded here).
+    """
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(jax.device_get(params), sep="/")
+    out = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if dtype is not None and v.dtype in (np.float32, np.float64):
+            assert np.all(np.abs(v[np.isfinite(v)]) < 6e4), f"{k} overflows fp16"
+            v = v.astype(dtype)
+        out[k] = v
+    np.savez_compressed(path, **out)
+
+
+def load_params_npz(path: str, dtype=np.float32):
+    """Load a flat .npz params artifact back into the nested pytree."""
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        flat = {
+            k: (
+                z[k].astype(dtype)
+                if z[k].dtype in (np.float16, np.float32, np.float64)
+                else z[k]
+            )
+            for k in z.files
+        }
+    return unflatten_dict(flat, sep="/")

@@ -208,6 +208,43 @@ def test_checkpoint_roundtrip(tmp_path, toy_config):
     assert ck.latest_checkpoint(str(tmp_path)) == path
 
 
+def test_params_npz_roundtrip(tmp_path):
+    """Flat .npz params artifact (restore-proof committed weights): fp16
+    down-cast for float leaves, integers preserved exactly, nested tree
+    structure reproduced, and load_params dispatches on the extension."""
+    from physdock_tpu.train import checkpoint as ck
+
+    params = {
+        "params": {
+            "dense": {"kernel": jnp.linspace(-2.0, 2.0, 12).reshape(3, 4),
+                      "bias": jnp.zeros(4)},
+            "emb": {"table": jnp.arange(6, dtype=jnp.int32).reshape(2, 3)},
+        }
+    }
+    path = str(tmp_path / "p.npz")
+    ck.save_params_npz(path, params)
+    back = ck.load_params_npz(path)
+    assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(
+        jax.device_get(params)
+    )
+    np.testing.assert_allclose(
+        back["params"]["dense"]["kernel"],
+        np.linspace(-2.0, 2.0, 12).reshape(3, 4),
+        atol=1e-3,
+    )
+    assert back["params"]["emb"]["table"].dtype == np.int32
+    np.testing.assert_array_equal(
+        back["params"]["emb"]["table"], np.arange(6).reshape(2, 3)
+    )
+
+    from physdock_tpu.cli.common import load_params
+
+    via_cli = load_params(path, None)
+    np.testing.assert_array_equal(
+        via_cli["params"]["dense"]["bias"], np.zeros(4)
+    )
+
+
 def test_mini_rollout_confidence_training(toy_config):
     """Mini-rollout path (loss_module3.py:599-610 + train.sh
     --mini-rollout-steps 12): plddt/pae/pde losses are real (nonzero),
