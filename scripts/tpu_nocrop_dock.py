@@ -12,6 +12,12 @@ import time
 def main():
     import jax
 
+    from physdock_tpu.utils.compile_cache import enable as enable_cc
+
+    # persistent XLA cache: a second process re-docking the same buckets
+    # must pay ~0 compile time (VERDICT r2 item 10 done-condition)
+    enable_cc()
+
     from physdock_tpu.cli.common import load_params
     from physdock_tpu.config import PhysDockConfig
     from physdock_tpu.data.feature_loader import SystemFeaturizer
