@@ -211,6 +211,13 @@ def main():
 
     os.makedirs(os.path.join(args.out, "ckpts"), exist_ok=True)
     ckpt_lib.save_train_state(os.path.join(args.out, "ckpts"), state, keep=1)
+    npz_path = os.path.join(args.out, "ema_params_conf.npz")
+    ckpt_lib.save_params_npz(npz_path, state.ema_params)
+    print(
+        f"npz artifact: {npz_path} "
+        f"({os.path.getsize(npz_path)/1e6:.1f} MB)",
+        flush=True,
+    )
 
     # dock with the head ranking the poses
     settings = SamplerSettings(

@@ -213,6 +213,25 @@ def main():
             )
             print(f"ckpt: {path}", flush=True)
 
+    # final checkpoint + flat .npz artifact (restore-proof: orbax dirs are
+    # gitignored and die with machine restores; the npz can be committed)
+    if args.steps > start_step:
+        from physdock_tpu.train import checkpoint as ckpt_lib
+
+        path = ckpt_lib.save_train_state(
+            os.path.join(args.out, "ckpts"), state, keep=3
+        )
+        print(f"final ckpt: {path}", flush=True)
+    from physdock_tpu.train.checkpoint import save_params_npz
+
+    npz_path = os.path.join(args.out, "ema_params.npz")
+    save_params_npz(npz_path, state.ema_params)
+    print(
+        f"npz artifact: {npz_path} "
+        f"({os.path.getsize(npz_path)/1e6:.1f} MB)",
+        flush=True,
+    )
+
     # ---- full-pipeline guided redock with the EMA params
     print("docking with trained EMA params...", flush=True)
     settings = SamplerSettings(
