@@ -84,6 +84,10 @@ class SamplerSettings:
     # geometric KMeans medoids (the fused-confidence ranking path)
     enable_confidence: bool = False
     confidence_ranking: bool = False
+    # pair-row tensor parallelism over a tp mesh axis (parallel/tp.py):
+    # z/ap/bias memory scales 1/tp — the multi-chip lever for crop-free
+    # 768+ token trunks.  tp=1 = single-chip (identical trace).
+    tp: int = 1
 
 
 class DockingPipeline:
@@ -102,6 +106,13 @@ class DockingPipeline:
         )
         self.params = params
         self.featurizer = featurizer  # SystemFeaturizer or FeaturizerWorker
+        if self.s.tp > 1:
+            # process-lifetime ambient mesh: the pipeline's jitted fns are
+            # traced lazily on first call, which must see the constraints
+            from physdock_tpu.parallel.mesh import make_mesh
+            from physdock_tpu.parallel.tp import enable_tp
+
+            enable_tp(make_mesh(dp=1, tp=self.s.tp))
         self._jit_cond = jax.jit(
             lambda p, b: self.model.apply(p, b, method="conditioning")
         )

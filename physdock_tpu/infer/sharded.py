@@ -57,5 +57,8 @@ def sharded_sample_diffusion(
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=P("dp"),
         check_vma=False,
+        # manual only over dp; a tp axis (parallel/tp.py) stays auto so
+        # the per-device sampler body can itself be pair-row sharded
+        axis_names={"dp"},
     )
     return fn(params, batch, key, conditioning, guidance)

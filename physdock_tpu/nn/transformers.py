@@ -32,6 +32,7 @@ from physdock_tpu.nn.primitives import (
     TimestepEmbeddings,
     Transition,
 )
+from physdock_tpu.parallel.tp import shard_rows
 
 Dtype = Any
 
@@ -132,6 +133,7 @@ class TriangleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, z, z_mask, pad_mask=None):
+        z = shard_rows(z)  # identity unless a tp mesh is active
         kw = dict(eps=self.eps, dtype=self.dtype)
         z = _res(z, TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask))
         z = _res(z, TriangleUpdate(transpose=True, name="triangle_col_update", **kw)(z, z_mask))
@@ -182,6 +184,7 @@ class EvoformerBlock(nn.Module):
         from physdock_tpu.nn.primitives import OuterProductMean
 
         m, z = carry
+        z = shard_rows(z)  # identity unless a tp mesh is active
         akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
         kw = dict(eps=self.eps, dtype=self.dtype)
         m = _res(m, MSARowAttentionWithPairBias(name="msa_row_attention", **akw)(m, z, z_mask))
@@ -234,6 +237,7 @@ class PairFormerBlock(nn.Module):
     @nn.compact
     def __call__(self, carry, z_mask):
         s, z = carry
+        z = shard_rows(z)  # identity unless a tp mesh is active
         akw = dict(inf=self.inf, eps=self.eps, dtype=self.dtype, attn_impl=self.attn_impl)
         kw = dict(eps=self.eps, dtype=self.dtype)
         z = _res(z, TriangleUpdate(name="triangle_row_update", **kw)(z, z_mask))
@@ -302,7 +306,10 @@ class DiTBlock(nn.Module):
         return bs, None
 
     def bias_only(self, carry, z, z_mask):
-        return carry, self.attention.compute_bias(z, z_mask)
+        # cached bias is [H, S_q, S_k]: shard the query rows over tp so the
+        # per-step sampler attention partitions without materializing the
+        # full bias per device
+        return carry, shard_rows(self.attention.compute_bias(z, z_mask), row_axis=-2)
 
 
 class DiT(nn.Module):

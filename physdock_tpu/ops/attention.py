@@ -145,6 +145,12 @@ def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
     """
     if impl == "xla":
         return sdpa_xla(q, k, v, bias)
+    from physdock_tpu.parallel.tp import tp_active
+
+    if tp_active():
+        # pallas_call has no GSPMD partitioning rule; under a tp mesh the
+        # XLA path partitions cleanly over the row-sharded bias instead
+        return sdpa_xla(q, k, v, bias)
     if impl in ("auto", "flash"):
         s_q, s_k, d = q.shape[-2], k.shape[-2], q.shape[-1]
         tileable = (

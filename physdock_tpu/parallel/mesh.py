@@ -8,10 +8,13 @@ jax.distributed.initialize (train/train.py --coordinator) with a global
 mesh spanning slices — DP gradients then allreduce over ICI within a
 slice and DCN across slices, inserted by XLA from the same shard_map.
 
-There is deliberately no model-parallel axis: the reference has no
-TP/PP/SP to reproduce (SURVEY §2.5), crop-free trunks fit a single chip
-at bf16 (validated on-chip, NOTES_ROUND2 item 5), and a config axis
-nothing shards over would be a false capability surface.
+Beyond DP (the reference's ceiling) there is an optional `tp` axis for
+pair-tensor row sharding — a real, tested capability (parallel/tp.py,
+tests/test_tensor_parallel.py), not a config flag: the quadratic pair
+tensors shard their query-row axis over tp, XLA GSPMD inserts the
+collectives, and z/ap/bias memory scales 1/tp (crop-free 768+ token
+trunks).  tp=1 (default) builds the identical 1-D dp mesh and traces the
+identical single-device HLO.
 """
 
 from __future__ import annotations
@@ -23,13 +26,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = -1, devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(
+    dp: int = -1, devices: Optional[Sequence] = None, tp: int = 1
+) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if dp == -1:
-        dp = len(devices)
-    assert dp <= len(devices), (dp, len(devices))
-    arr = np.array(devices[:dp])
-    return Mesh(arr, ("dp",))
+        dp = len(devices) // tp
+    assert dp * tp <= len(devices), (dp, tp, len(devices))
+    if tp == 1:
+        return Mesh(np.array(devices[:dp]), ("dp",))
+    # tp innermost: pair-row collectives ride the fastest ICI links
+    arr = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -138,6 +138,9 @@ def make_train_step(
         in_specs=(P(), P("dp"), P()),
         out_specs=(P(), P()),
         check_vma=False,
+        # manual only over dp; a tp axis (pair-row tensor parallelism,
+        # parallel/tp.py) stays auto so GSPMD shards the model body
+        axis_names={"dp"},
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))

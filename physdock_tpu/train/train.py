@@ -60,6 +60,9 @@ def main(argv=None):
     # plumbing + torch.distributed.run (train.sh:1-12,36,69-81); here the
     # same single-controller-per-host program spans slices once
     # jax.distributed.initialize connects the processes
+    p.add_argument("--tp", type=int, default=1,
+                   help="pair-row tensor-parallel axis size (devices per "
+                        "replica; parallel/tp.py) — dp becomes #devices/tp")
     p.add_argument("--coordinator", default=None,
                    help="coordinator address host:port; enables multi-host")
     p.add_argument("--num_processes", type=int, default=None)
@@ -86,7 +89,11 @@ def main(argv=None):
         inference_mode=False,
         num_augmentation_sample=args.num_augmentation_sample,
     )
-    mesh = make_mesh()
+    mesh = make_mesh(tp=args.tp)
+    if args.tp > 1:
+        from physdock_tpu.parallel.tp import enable_tp
+
+        enable_tp(mesh)
     n_dev = mesh.shape["dp"]
     batch_size = args.batch_size or n_dev
     assert batch_size % n_dev == 0

@@ -32,10 +32,36 @@ wait_tunnel() {
     return 0
 }
 
+# Stall watchdog: a tunnel drop mid-run leaves the client alive but
+# sleeping forever (observed: 2% CPU, log silent).  If the job writes
+# nothing for STALL_S seconds, kill it so the retry loop recovers from
+# the checkpoint instead of burning the whole timeout.  Long XLA
+# compiles legitimately go silent for many minutes — keep this above
+# the longest observed compile gap (override: TPU_RETRY_STALL_S).
+STALL_S=${TPU_RETRY_STALL_S:-1800}
+
+run_with_watchdog() {
+    timeout "$T" "$@" >> "$LOG" 2>&1 &
+    local pid=$!
+    while kill -0 "$pid" 2>/dev/null; do
+        sleep 60
+        local age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || date +%s) ))
+        if [ "$age" -ge "$STALL_S" ]; then
+            echo "[tpu_retry] log silent ${age}s — killing stalled job" >> "$LOG"
+            kill "$pid" 2>/dev/null
+            sleep 10
+            kill -9 "$pid" 2>/dev/null
+            wait "$pid" 2>/dev/null
+            return 99
+        fi
+    done
+    wait "$pid"
+}
+
 for attempt in 1 2 3 4 5; do
     wait_tunnel || exit 2
     echo "[tpu_retry] attempt $attempt: $*" >> "$LOG"
-    timeout "$T" "$@" >> "$LOG" 2>&1
+    run_with_watchdog "$@"
     code=$?
     if [ $code -eq 0 ]; then
         echo "[tpu_retry] success on attempt $attempt" >> "$LOG"
