@@ -119,7 +119,18 @@ def main():
     ckpt = args.ckpt or ckpt_lib.latest_checkpoint(
         os.path.join(args.gate_dir, "ckpts")
     )
-    gate = ckpt_lib.restore_train_state(ckpt)
+    if ckpt is not None and ckpt.endswith(".npz"):
+        gate = {"ema_params": ckpt_lib.load_params_npz(ckpt), "step": -1}
+    elif ckpt is not None:
+        gate = ckpt_lib.restore_train_state(ckpt)
+    else:
+        # machine restores wipe the gitignored orbax dirs; the committed
+        # flat .npz EMA artifact is the restore-proof fallback
+        npz = os.path.join(args.gate_dir, "ema_params.npz")
+        if not os.path.exists(npz):
+            sys.exit(f"no gate checkpoint in {args.gate_dir} (ckpts or npz)")
+        gate = {"ema_params": ckpt_lib.load_params_npz(npz), "step": -1}
+        ckpt = npz
     print(f"gate ckpt {ckpt} (step {gate['step']})", flush=True)
     micro0 = {k: jnp.asarray(v) for k, v in feats_list[0].items()}
     full_init = jax.jit(model.init, static_argnames=("method",))(
