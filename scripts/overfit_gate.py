@@ -50,6 +50,13 @@ def main():
     p.add_argument("--dock_steps", type=int, default=40)
     p.add_argument("--dock_rounds", type=int, default=2)
     p.add_argument("--dock_poses", type=int, default=20)
+    p.add_argument(
+        "--deadline_ts", type=float, default=0.0,
+        help="unix time; stop TRAINING at this wall-clock deadline, save a "
+        "checkpoint and proceed to the dock phase (0 = no deadline). Lets a "
+        "time-boxed session train as far as it can and still emit the gate "
+        "artifact; a later run auto-resumes and trains further.",
+    )
     args = p.parse_args()
 
     import jax
@@ -194,9 +201,17 @@ def main():
     print("training...", flush=True)
     t0 = time.time()
     losses = []
+    steps_reached = start_step
     for step_i in range(start_step, args.steps):
+        if args.deadline_ts and time.time() > args.deadline_ts:
+            print(
+                f"deadline reached at step {step_i}; stopping training",
+                flush=True,
+            )
+            break
         key, k_step = jax.random.split(key)
         state, logs = train_step(state, build_batch(step_i), k_step)
+        steps_reached = step_i + 1
         losses.append(float(logs["loss"]))
         if (step_i + 1) % 25 == 0:
             recent = np.mean(losses[-25:])
@@ -215,7 +230,7 @@ def main():
 
     # final checkpoint + flat .npz artifact (restore-proof: orbax dirs are
     # gitignored and die with machine restores; the npz can be committed)
-    if args.steps > start_step:
+    if steps_reached > start_step:
         from physdock_tpu.train import checkpoint as ckpt_lib
 
         path = ckpt_lib.save_train_state(
@@ -267,7 +282,8 @@ def main():
     )
     out = {
         "pass": ok,
-        "steps": args.steps,
+        "steps": steps_reached,
+        "steps_requested": args.steps,
         "model": args.model,
         "crop": args.crop,
         "atom_crop": args.atom_crop,
