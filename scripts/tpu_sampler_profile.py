@@ -1,10 +1,15 @@
-"""Per-stage breakdown of the AF3DiT denoiser on-chip.
+"""Per-stage breakdown of the guided dock on-chip (VERDICT r3 item 1).
 
-The e2e sampler runs at ~42% MFU while the folded flash kernel alone
-issues 67-74% of the measured MXU wall — this script attributes the gap:
-bias-cache build (per round), atom-DiT encoder, token-DiT, atom-DiT
-decoder (per step, B=20 samples), vs the full denoise call and the
-full 40-step sampler (EDM churn / augmentation / scan glue = remainder).
+Attributes the e2e-MFU vs kernel-MFU gap: conditioning trunk, bias-cache
+build (per round), atom-DiT encoder / token-DiT / atom-DiT decoder (per
+step, B=S samples), the full denoise call, the full 40-step unguided
+sampler, and the guided sampler (conformer matching + FF relaxation +
+rigid projection inside the scan).
+
+If /root/repo/_artifacts/stage_flops.json exists (written by
+scripts/stage_flops.py in a clean CPU process), each stage also reports
+achieved TF/s and % of the measured chip wall (~80-83 TF/s bf16,
+scripts/mxu_roofline_tpu.py).  Writes STAGE_PROFILE.json.
 
 Scalar-readback timing (tunnel rule); synthetic batch at the bench's
 static shapes (medium, crop 256/2048, 20 samples).
@@ -12,9 +17,16 @@ static shapes (medium, crop 256/2048, 20 samples).
 
 from __future__ import annotations
 
+import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MEASURED_WALL_TFS = 81.0  # chip bf16 wall, scripts/mxu_roofline_tpu.py
 
 
 def force(x):
@@ -38,13 +50,19 @@ def timeit(fn, *args, warmup=2, iters=5):
 
 def main():
     import jax
+
+    if os.environ.get("PHYSDOCK_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from physdock_tpu.config import PhysDockConfig
     from physdock_tpu.data.synthetic import make_synthetic_batch
-    from physdock_tpu.model.diffusion import sample_diffusion
+    from physdock_tpu.model.diffusion import PhysicsGuidance, sample_diffusion
+    from physdock_tpu.model.forcefield import build_ligand_ff
     from physdock_tpu.model.physdock import PhysDock
+    from physdock_tpu.utils.compile_cache import enable as enable_cc
 
+    enable_cc()
     on_tpu = jax.devices()[0].platform != "cpu"
     name = "medium" if on_tpu else "toy"
     n_tok, n_atoms, n_msa, S, steps = (
@@ -52,11 +70,12 @@ def main():
     )
     cfg = PhysDockConfig.named(name, bf16=on_tpu, num_augmentation_sample=2)
     model = PhysDock(cfg=cfg.model, dtype=cfg.dtypes.compute_dtype)
+    batch_np = make_synthetic_batch(
+        n_tokens=n_tok, n_atoms=n_atoms, n_msa=n_msa, n_ligand_tokens=16
+    )
     batch = {
         k: jnp.asarray(v)
-        for k, v in make_synthetic_batch(
-            n_tokens=n_tok, n_atoms=n_atoms, n_msa=n_msa, n_ligand_tokens=16
-        ).items()
+        for k, v in batch_np.items()
         if k not in ("ap_mask", "z_mask")
     }
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
@@ -120,24 +139,93 @@ def main():
         )
     )
 
-    t_bias = timeit(bias_fn, params, batch, ap, z)
-    t_full = timeit(denoise_fn, params, batch, x_hat, t_hat, a, ap, s, z, bc)
-    t_enc = timeit(enc_fn, params, ba0, t_hat, bc)
-    t_tok = timeit(tok_fn, params, bs0, t_hat, bc)
-    t_dec = timeit(dec_fn, params, ba0, t_hat, bc)
-    t_samp = timeit(samp_fn, params, batch, key, (a, ap, s, z), warmup=1, iters=3)
+    # guided sampler: synthetic ligand guidance at pipeline-like shapes
+    tok_map = np.asarray(batch_np["atom_id_to_token_id"])
+    lig_atoms = np.nonzero((np.asarray(batch_np["is_ligand"]) > 0)[tok_map])[0]
+    L = len(lig_atoms)
+    K = 2 * S
+    rng = np.random.default_rng(0)
+    confs = rng.normal(0, 2, (K, L, 3)).astype(np.float32)
+    dists = np.linalg.norm(confs[:, :, None] - confs[:, None], axis=-1)
+    ff = build_ligand_ff([6] * L, [(i, i + 1) for i in range(L - 1)], confs[0])
+    guidance = PhysicsGuidance(
+        ligand_idx=jnp.asarray(lig_atoms, jnp.int32),
+        ligand_mask=jnp.ones(L),
+        conf_pos=jnp.asarray(confs),
+        conf_dists=jnp.asarray(dists),
+        conf_mask=jnp.ones(K),
+        ff=ff,
+    )
+    gsamp_fn = jax.jit(
+        lambda p, b, k, c: sample_diffusion(
+            model, p, b, k, num_sample=S, steps=steps, karras_rho=1000.0,
+            guidance=guidance, align_ref_pos=True, conditioning=c,
+            mmff_gamma_0_factor=6.0,
+        )
+    )
 
-    glue = t_full - (t_enc + t_tok + t_dec)
-    scan_over = t_samp / steps - t_full
-    print(f"bias cache (per round): {t_bias*1e3:.1f} ms")
-    print(f"denoise full (B={S}):   {t_full*1e3:.1f} ms/step")
-    print(f"  atom encoder:         {t_enc*1e3:.1f} ms ({t_enc/t_full:.0%})")
-    print(f"  token DiT:            {t_tok*1e3:.1f} ms ({t_tok/t_full:.0%})")
-    print(f"  atom decoder:         {t_dec*1e3:.1f} ms ({t_dec/t_full:.0%})")
-    print(f"  glue (pool/upscale/precond): {glue*1e3:.1f} ms")
-    print(f"sampler {steps} steps:  {t_samp*1e3:.0f} ms "
-          f"({t_samp/steps*1e3:.1f} ms/step; EDM/aug overhead "
-          f"{scan_over*1e3:.1f} ms/step)")
+    times = {}
+    times["cond"] = timeit(cond_fn, params, batch, warmup=1, iters=3)
+    times["bias_cache"] = timeit(bias_fn, params, batch, ap, z)
+    times["denoise_full"] = timeit(
+        denoise_fn, params, batch, x_hat, t_hat, a, ap, s, z, bc
+    )
+    times["atom_enc"] = timeit(enc_fn, params, ba0, t_hat, bc)
+    times["token_dit"] = timeit(tok_fn, params, bs0, t_hat, bc)
+    times["atom_dec"] = timeit(dec_fn, params, ba0, t_hat, bc)
+    times["sampler"] = timeit(
+        samp_fn, params, batch, key, (a, ap, s, z), warmup=1, iters=3
+    )
+    times["sampler_guided"] = timeit(
+        gsamp_fn, params, batch, key, (a, ap, s, z), warmup=1, iters=3
+    )
+
+    flops = {}
+    fpath = "/root/repo/_artifacts/stage_flops.json"
+    if os.path.exists(fpath):
+        with open(fpath) as f:
+            flops = json.load(f)
+        if flops.get("model") != name or flops.get("n_atoms") != n_atoms:
+            flops = {}  # stale artifact from another shape
+
+    rows = []
+    for k, t in times.items():
+        fl = flops.get(k)
+        tfs = fl / t / 1e12 if fl else None
+        pct = tfs / MEASURED_WALL_TFS if tfs else None
+        rows.append((k, t, fl, tfs, pct))
+        extra = (
+            f"  {tfs:6.1f} TF/s  {pct:5.0%} of wall" if tfs is not None else ""
+        )
+        print(f"{k:16s} {t*1e3:8.1f} ms{extra}", flush=True)
+
+    t_full = times["denoise_full"]
+    glue = t_full - (times["atom_enc"] + times["token_dit"] + times["atom_dec"])
+    scan_over = times["sampler"] / steps - t_full
+    guided_over = (times["sampler_guided"] - times["sampler"]) / steps
+    print(f"\ndenoise glue (pool/upscale/precond): {glue*1e3:.1f} ms/step")
+    print(f"EDM/aug scan overhead:               {scan_over*1e3:.1f} ms/step")
+    print(f"guidance overhead:                   {guided_over*1e3:.1f} ms/step")
+
+    out = {
+        "model": name, "n_tok": n_tok, "n_atoms": n_atoms, "S": S,
+        "steps": steps, "wall_tfs": MEASURED_WALL_TFS,
+        "stages": {
+            k: {
+                "time_s": t,
+                "flops": fl,
+                "tflops_per_s": tfs,
+                "pct_of_wall": pct,
+            }
+            for k, t, fl, tfs, pct in rows
+        },
+        "denoise_glue_ms": glue * 1e3,
+        "scan_overhead_ms_per_step": scan_over * 1e3,
+        "guidance_overhead_ms_per_step": guided_over * 1e3,
+    }
+    with open("/root/repo/STAGE_PROFILE.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
