@@ -27,8 +27,13 @@ import time
 ASSUMED_A100_POSES_PER_SEC = 0.02  # assumed — nothing published (SURVEY §6)
 TARGET_MULTIPLIER = 5.0
 
-DEMO_DIR = "/root/reference/demo/redocking/Posebusters_subset"
-DEMO_MSA = "/root/reference/demo/redocking/features"
+from physdock_tpu.utils.demo_assets import (
+    redocking_features_dir,
+    redocking_systems_dir,
+)
+
+DEMO_DIR = redocking_systems_dir()
+DEMO_MSA = redocking_features_dir()
 
 
 def _analytic_flops(model_name, crop, atom_crop, steps, nspr):
@@ -186,18 +191,33 @@ def main():
     # vs_baseline stays an ASSUMED comparison (reference publishes none).
     from physdock_tpu.utils.flops import peak_flops_for
 
-    fdata = _analytic_flops(model_name, crop, atom_crop, steps, nspr)
+    # FLOPs per system at its ACTUAL padded bucket (systems land in
+    # different atom buckets — 1344..1920 here — and counting all of them
+    # at the 2048 cap overstated the work ~15%)
     mfu = None
+    mfu_wall = None
     achieved_tflops = None
     device_kind = jax.devices()[0].device_kind
-    if fdata:
-        total_flops = fdata["flops_per_system_round"] * sum(
-            r["rounds"] for r in res_list
-        )
+    per_bucket = {}
+    total_flops = 0.0
+    for r in res_list:
+        bucket = (r.get("n_tokens_padded") or crop, r.get("n_atoms_padded") or atom_crop)
+        if bucket not in per_bucket:
+            per_bucket[bucket] = _analytic_flops(
+                model_name, bucket[0], bucket[1], steps, nspr
+            )
+        fd = per_bucket[bucket]
+        if fd:
+            total_flops += fd["flops_per_system_round"] * r["rounds"]
+    fdata = next(iter(per_bucket.values()), None)
+    if total_flops:
         achieved_tflops = total_flops / dt / 1e12
         peak = peak_flops_for(device_kind)
         if peak:
             mfu = total_flops / dt / peak
+        # the chip's MEASURED bf16 wall is ~81 TF/s (mxu_roofline_tpu.py),
+        # well under the 197 spec; report both normalizations
+        mfu_wall = total_flops / dt / 81e12
     print(
         json.dumps(
             {
@@ -209,6 +229,9 @@ def main():
                 "value": round(poses_per_sec, 4),
                 "unit": "poses/s",
                 "mfu": round(mfu, 5) if mfu is not None else None,
+                "mfu_measured_wall": (
+                    round(mfu_wall, 5) if mfu_wall is not None else None
+                ),
                 "achieved_tflops": (
                     round(achieved_tflops, 4)
                     if achieved_tflops is not None

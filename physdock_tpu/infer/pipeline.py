@@ -716,6 +716,10 @@ class DockingPipeline:
             "rounds": rounds_run,
             "feat_time_s": round(t_feat, 3),
             "total_time_s": round(time.time() - t_start, 3),
+            # static bucket this system compiled at (device-program shape;
+            # bench.py counts per-bucket FLOPs from these)
+            "n_atoms_padded": int(np.shape(feats["ref_pos"])[-2]),
+            "n_tokens_padded": int(np.shape(feats["s_mask"])[-1]),
         }
         if conf_metrics is not None:
             # rank-ordered so confidence[0] belongs to pred_rank0

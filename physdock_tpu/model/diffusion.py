@@ -28,6 +28,7 @@ import numpy as np
 
 from physdock_tpu.model.forcefield import LigandFF, relax_positions
 from physdock_tpu.utils.geometry import (
+    apply_centre_augmentation,
     centre_random_augmentation,
     masked_mean,
     smooth_lddt_epsilon,
@@ -130,6 +131,8 @@ def sample_diffusion(
     align_ref_pos: bool = True,
     conditioning: Optional[Tuple] = None,
     sample_key_offset=0,
+    noise_override: Optional[Dict[str, jnp.ndarray]] = None,
+    return_trajectory: bool = False,
 ) -> jnp.ndarray:
     """Run the EDM reverse pass; returns x [num_sample, A, 3].
 
@@ -144,6 +147,16 @@ def sample_diffusion(
     sampling a slice with offset = device_index * local_count and the SAME
     base key) produces exactly the poses the unsharded run would
     (tests/test_sharded_infer.py asserts this equivalence).
+
+    `noise_override` replaces every stochastic draw with caller-provided
+    arrays — the lockstep-parity hook (VERDICT r3 item 4): the torch
+    reference's reverse loop and this one consume identical noise and the
+    trajectories are compared step by step. Keys:
+      x_init_z [S, A, 3]      standard normal for the sigma_max init
+      aug_R    [T, S, 3, 3]   per-step augmentation rotations
+      aug_t    [T, S, 3]      per-step augmentation translations
+      churn_z  [T, S, A, 3]   per-step churn noise
+    `return_trajectory` returns x after every step, [T, S, A, 3].
     """
     x_exists = batch["a_mask"].astype(jnp.float32)
     num_atoms = batch["ref_pos"].shape[-2]
@@ -171,9 +184,12 @@ def sample_diffusion(
     skeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(sample_ids)
 
     k_init = jax.vmap(lambda k: jax.random.fold_in(k, 0))(skeys)
-    x_next = sigmas[0] * jax.vmap(
-        lambda k: jax.random.normal(k, (num_atoms, 3), jnp.float32)
-    )(k_init)
+    if noise_override is not None:
+        x_next = sigmas[0] * noise_override["x_init_z"].astype(jnp.float32)
+    else:
+        x_next = sigmas[0] * jax.vmap(
+            lambda k: jax.random.normal(k, (num_atoms, 3), jnp.float32)
+        )(k_init)
 
     batch_ref_pos0 = jnp.repeat(batch["ref_pos"][None].astype(jnp.float32), num_sample, axis=0)
 
@@ -189,20 +205,29 @@ def sample_diffusion(
 
     def step(carry, xs):
         x_next, batch_ref_pos, skeys = carry
-        t_cur, t_next = xs
+        if noise_override is not None:
+            (t_cur, t_next), aug_R, aug_t, churn_z = xs
+        else:
+            t_cur, t_next = xs
         skeys, k_augs, k_churns = jax.vmap(
             lambda k: tuple(jax.random.split(k, 3))
         )(skeys)
 
-        x_cur = jax.vmap(
-            lambda k, xs_: centre_random_augmentation(k, xs_, x_exists)
-        )(k_augs, x_next)
+        if noise_override is not None:
+            x_cur = apply_centre_augmentation(x_next, x_exists, aug_R, aug_t)
+        else:
+            x_cur = jax.vmap(
+                lambda k, xs_: centre_random_augmentation(k, xs_, x_exists)
+            )(k_augs, x_next)
 
         churn = t_cur > gamma_min
         t_hat_churn = t_cur * (gamma_0 + 1.0)
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, x_cur.shape[1:], x_cur.dtype)
-        )(k_churns)
+        if noise_override is not None:
+            noise = churn_z.astype(x_cur.dtype)
+        else:
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, x_cur.shape[1:], x_cur.dtype)
+            )(k_churns)
         ksi = (
             noise_scale_lambda
             * noise
@@ -252,13 +277,21 @@ def sample_diffusion(
         dt = (t_next - t_hat)[:, None, None]
         eta = jnp.where(churn, step_scale_eta, ode_step_scale_eta)
         x_out = x_hat + eta * dt * d_cur
-        return (x_out, batch_ref_pos, skeys), None
+        ys = x_out if return_trajectory else None
+        return (x_out, batch_ref_pos, skeys), ys
 
     xs = (sigmas[:-1], sigmas[1:])
+    if noise_override is not None:
+        xs = (
+            xs,
+            noise_override["aug_R"].astype(jnp.float32),
+            noise_override["aug_t"].astype(jnp.float32),
+            noise_override["churn_z"],
+        )
     from physdock_tpu.nn.transformers import _unroll_for_cost
 
-    (x_final, _, _), _ = jax.lax.scan(
+    (x_final, _, _), traj = jax.lax.scan(
         step, (x_next, batch_ref_pos0, skeys), xs,
         unroll=steps if _unroll_for_cost() else 1,
     )
-    return x_final
+    return traj if return_trajectory else x_final

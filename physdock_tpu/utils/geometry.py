@@ -95,12 +95,21 @@ def centre_random_augmentation(
     x: [..., num_atoms, 3]; x_exists: [num_atoms] mask shared across batch.
     """
     kr, kt = jax.random.split(key)
+    rot = uniform_random_rotation(kr, x.shape[:-2])
+    t = s * jax.random.normal(kt, x.shape[:-2] + (3,), dtype=x.dtype)
+    return apply_centre_augmentation(x, x_exists, rot, t)
+
+
+def apply_centre_augmentation(x, x_exists, rot, t):
+    """Deterministic body of `centre_random_augmentation` with explicit
+    rotation/translation — the injection point for lockstep sampler parity
+    against the torch reference (tests/test_reference_parity.py)."""
     w = x_exists.astype(x.dtype)
     mean = jnp.sum(x * w[..., :, None], axis=-2, keepdims=True) / jnp.sum(w)
-    x_aug = x - mean
-    rot = uniform_random_rotation(kr, x.shape[:-2])
-    x_aug = jnp.einsum("...ij,...kj->...ki", rot, x_aug, precision=jax.lax.Precision.HIGHEST)
-    t = s * jax.random.normal(kt, x.shape[:-2] + (3,), dtype=x.dtype)
+    x_aug = jnp.einsum(
+        "...ij,...kj->...ki", rot, x - mean,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return x_aug + t[..., None, :]
 
 

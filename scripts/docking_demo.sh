@@ -3,7 +3,7 @@
 # -> homology search (needs hmmer/hhblits binaries + sequence DBs) ->
 # physics-corrected redocking.
 set -euo pipefail
-DEMO=${DEMO:-/root/reference/demo/system_preparation}
+DEMO=${DEMO:-$(dirname "$0")/../demo/system_preparation}
 OUT=${OUT:-./demo_out/docking}
 PARAMS=${PARAMS:-}
 UNIREF90=${UNIREF90:-}      # path to uniref90 fasta db

@@ -5,8 +5,8 @@
 # reconstructed from coordinates when the reference's CCD blob is absent
 # (pass CCD_BLOB=... to use a real ccd_id_meta_data.pkl.gz).
 set -euo pipefail
-DEMO=${DEMO:-/root/reference/demo/redocking}
-PREP=${PREP:-/root/reference/demo/system_preparation}
+DEMO=${DEMO:-$(dirname "$0")/../demo/redocking}
+PREP=${PREP:-$(dirname "$0")/../demo/system_preparation}
 OUT=${OUT:-./demo_out/redocking}
 PARAMS=${PARAMS:-}     # path to params.pt or orbax ckpt; empty = random init smoke run
 CCD_BLOB=${CCD_BLOB:-}

@@ -2,7 +2,7 @@
 # Virtual-screening demo (equivalent of reference screening_demo.sh):
 # dock the 8-SMILES demo library into the 6KZD pocket.
 set -euo pipefail
-DEMO=${DEMO:-/root/reference/demo/screening}
+DEMO=${DEMO:-$(dirname "$0")/../demo/screening}
 OUT=${OUT:-./demo_out/screening}
 PARAMS=${PARAMS:-}
 
