@@ -49,6 +49,7 @@ def make_train_step(
     sigma_data: float = 16.0,
     use_mini_rollout: bool = False,
     mini_rollout_steps: int = 12,
+    corrupt_rollout_pose: bool = False,
 ):
     """Build the jitted sharded train step.
 
@@ -72,17 +73,37 @@ def make_train_step(
         k_fwd, k_roll = jax.random.split(key)
         out = model.apply(params, microbatch, k_fwd, return_conditioning=True)
         a, ap, s, z = out.pop("conditioning")
-        x_pred = jax.lax.stop_gradient(
-            sample_diffusion(
-                model,
-                params,
-                microbatch,
+        if corrupt_rollout_pose:
+            # corrupted-GT pose instead of a rollout: spans the lDDT/PAE
+            # label bins even when the denoiser is memorized (corrupt.py)
+            from physdock_tpu.train.corrupt import corrupt_pose
+
+            is_lig_atom = (
+                jnp.take(
+                    microbatch["is_ligand"],
+                    microbatch["atom_id_to_token_id"],
+                    axis=-1,
+                )
+                * microbatch["a_mask"]
+            ).astype(jnp.float32)
+            x_pred = corrupt_pose(
                 k_roll,
-                num_sample=1,
-                steps=mini_rollout_steps,
-                conditioning=(a, ap, s, z),
+                microbatch["x_gt"].astype(jnp.float32),
+                microbatch["a_mask"].astype(jnp.float32),
+                is_lig_atom,
             )
-        )
+        else:
+            x_pred = jax.lax.stop_gradient(
+                sample_diffusion(
+                    model,
+                    params,
+                    microbatch,
+                    k_roll,
+                    num_sample=1,
+                    steps=mini_rollout_steps,
+                    conditioning=(a, ap, s, z),
+                )
+            )
         p_pae, p_pde, p_plddt = model.apply(
             params, microbatch, s, z, x_pred, method="confidence"
         )

@@ -50,7 +50,7 @@ def spearman(a, b):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--steps", type=int, default=800)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--crop", type=int, default=128)
     p.add_argument("--atom_crop", type=int, default=1024)
@@ -64,6 +64,7 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dock_steps", type=int, default=40)
     p.add_argument("--dock_poses", type=int, default=20)
+    p.add_argument("--gate_out", default="/root/repo/CONFIDENCE_GATE.json")
     args = p.parse_args()
 
     import jax
@@ -171,20 +172,29 @@ def main():
         labels,
     )
     mesh = make_mesh(dp=1)
-    # a memorized denoiser's full rollouts are all near-GT, which would
-    # train the head on constant "perfect" labels (it collapses to a
-    # constant score — measured: pLDDT pinned at 97.0000, iptm identical
-    # to 7 decimals across systems).  Alternating short rollouts mixes
-    # bad/medium poses into the stream so the lddt/pae/pde labels span
-    # their bins and the head learns to DISCRIMINATE.
-    rollouts = sorted({args.rollout, 4, 2})
-    steps_by_rollout = [
-        make_train_step(
-            model, optimizer, cfg.loss, mesh, sigma_data=cfg.model.sigma_data,
-            use_mini_rollout=True, mini_rollout_steps=r,
-        )
-        for r in rollouts
-    ]
+    # a memorized denoiser's full rollouts are all near-GT, which trains
+    # the head on constant "perfect" labels and it collapses to a constant
+    # distribution (measured r3: pLDDT pinned at 97.0000, ipTM identical
+    # to 7 decimals across systems — a constant PAE distribution makes
+    # every masked mean equal).  The fix (VERDICT r3 item 3): half the
+    # steps feed CORRUPTED-GT poses whose error magnitude is log-uniform
+    # over 0.1-24 A (train/corrupt.py) so the lDDT/PAE/PDE labels span
+    # their bins; rollout steps (long + short) keep the on-policy pose
+    # distribution in the stream.
+    step_corrupt = make_train_step(
+        model, optimizer, cfg.loss, mesh, sigma_data=cfg.model.sigma_data,
+        use_mini_rollout=True, corrupt_rollout_pose=True,
+    )
+    step_roll_long = make_train_step(
+        model, optimizer, cfg.loss, mesh, sigma_data=cfg.model.sigma_data,
+        use_mini_rollout=True, mini_rollout_steps=args.rollout,
+    )
+    step_roll_short = make_train_step(
+        model, optimizer, cfg.loss, mesh, sigma_data=cfg.model.sigma_data,
+        use_mini_rollout=True, mini_rollout_steps=2,
+    )
+    schedule = [step_corrupt, step_roll_long, step_corrupt, step_roll_short]
+    rollouts = [args.rollout, 2]
     state = init_train_state(params, optimizer)
 
     key = jax.random.PRNGKey(args.seed)
@@ -197,7 +207,7 @@ def main():
             for k in feats_list[0]
         }
         key, k_step = jax.random.split(key)
-        train_step = steps_by_rollout[step_i % len(steps_by_rollout)]
+        train_step = schedule[step_i % len(schedule)]
         state, logs = train_step(state, batch, k_step)
         if (step_i + 1) % 25 == 0:
             msg = {
@@ -235,7 +245,9 @@ def main():
         flush=True,
     )
 
-    # dock with the head ranking the poses
+    # dock with KMeans (geometric) ranking as the baseline order and the
+    # confidence head scored on every pose: conf-ranked top-1 must be at
+    # least as good as the KMeans top-1 (VERDICT r3 item 3 criterion 2)
     settings = SamplerSettings(
         max_samples=2 * args.dock_poses,
         num_samples_per_round=args.dock_poses,
@@ -245,7 +257,7 @@ def main():
         num_confs=64 if on_tpu else 8,
         enable_ranking=True,
         enable_confidence=True,
-        confidence_ranking=True,
+        confidence_ranking=False,
         seed=args.seed,
     )
     pipe = DockingPipeline(cfg, state.ema_params, worker, settings)
@@ -258,10 +270,16 @@ def main():
             )
             scores = [m["ranking_confidence"] for m in r["confidence"]]
             rmsds = r["all_rmsd"]
+            conf_top1 = float(rmsds[int(np.argmax(scores))])
             results[name] = {
                 "top_rmsd": float(rmsds[0]),
                 "top5_rmsd": [float(x) for x in rmsds[:5]],
-                "spearman_conf_vs_rmsd": spearman(scores, rmsds),
+                "kmeans_top1_rmsd": float(rmsds[0]),
+                "conf_top1_rmsd": conf_top1,
+                # over docked poses all RMSDs are near-identical on
+                # memorized systems; reported, not gated (the gated
+                # spearman is the decoy ladder below)
+                "spearman_conf_vs_rmsd_docked": spearman(scores, rmsds),
                 "mean_plddt_top": float(r["confidence"][0]["mean_plddt"]),
                 "iptm_top": float(r["confidence"][0]["iptm"]),
             }
@@ -269,10 +287,13 @@ def main():
             results[name] = {"error": str(e)}
         print(f"  {name}: {results[name]}", flush=True)
 
-    # discrimination probe: a trained head must score the GT pose above
-    # the same pose with the ligand displaced (2/5/10 A along a fixed
-    # direction).  This is the claim the docked-pose spearman cannot make
-    # when every docked pose is already near-GT.
+    # --- ranker gate: decoy-ladder spearman (VERDICT r3 item 3 criterion 1)
+    # Per system, score a ladder of poses spanning ligand RMSD (GT + rigid
+    # shifts/rotations/jitter at 0.3-16 A in random directions): a real
+    # ranker must anti-correlate confidence with RMSD over the ladder
+    # (docked poses can't make this claim — on memorized systems they all
+    # sit at ~0.1 A).  The old fixed-direction shifted-pose probe stays as
+    # a smoke test.
     from physdock_tpu.infer import metrics as metrics_lib
 
     jit_cond = jax.jit(lambda p, b: model.apply(p, b, method="conditioning"))
@@ -281,6 +302,37 @@ def main():
             p, b, s_emb, z_emb, x, method="confidence"
         )
     )
+
+    def ladder_decoys(x_gt, lig, rng):
+        """[(pose, ligand_rmsd)] spanning ~0-16 A."""
+        decoys = [(x_gt.copy(), 0.0)]
+        for m in (0.3, 0.6, 1.0, 2.0, 4.0, 8.0, 16.0):
+            for _ in range(2):
+                x = x_gt.copy()
+                lx = x[lig]
+                c = lx.mean(0, keepdims=True)
+                # random rotation blended toward identity for small m
+                from physdock_tpu.utils.geometry import (
+                    uniform_random_rotation_np,
+                )
+
+                R = uniform_random_rotation_np(rng, ())
+                a_ = min(m / 8.0, 1.0)
+                R = np.eye(3) + a_ * (R - np.eye(3))
+                q, r_ = np.linalg.qr(R)
+                R = q * np.sign(np.diag(r_))[None, :]
+                d = rng.normal(size=3)
+                d /= np.linalg.norm(d) + 1e-9
+                lx = (lx - c) @ R.T + c + m * d
+                lx = lx + 0.1 * m * rng.normal(size=lx.shape)
+                x[lig] = lx.astype(np.float32)
+                rmsd = float(
+                    np.sqrt(((x[lig] - x_gt[lig]) ** 2).sum(-1).mean())
+                )
+                decoys.append((x, rmsd))
+        return decoys
+
+    ladder = {}
     discrimination = {}
     for sysp in systems:
         f, meta, _ = worker.load(sysp, num_msa_rounds=1)
@@ -289,8 +341,31 @@ def main():
         _, _, s_emb, z_emb = jit_cond(state.ema_params, batch)
         lig = np.asarray(meta["ligand_atom_idx"])
         x_gt = np.asarray(f["x_gt"], np.float32)
+
+        rng = np.random.default_rng(args.seed + 100)
+        confs_scores, rmsds_l = [], []
+        for x, rmsd in ladder_decoys(x_gt, lig, rng):
+            p_pae, _, p_plddt = jit_conf(
+                state.ema_params, batch, s_emb, z_emb, jnp.asarray(x)[None]
+            )
+            m = metrics_lib.get_metrics(
+                np.asarray(p_pae, np.float32),
+                np.asarray(p_plddt, np.float32),
+                x, f,
+            )
+            confs_scores.append(float(m["ranking_confidence"]))
+            rmsds_l.append(rmsd)
+        rho = spearman(confs_scores, rmsds_l)
+        ladder[name] = {
+            "spearman_conf_vs_rmsd": rho,
+            "rmsds": [round(r, 2) for r in rmsds_l],
+            "confidences": [round(c, 4) for c in confs_scores],
+        }
+        print(f"  ladder {name}: spearman {rho:.3f}", flush=True)
+
+        # smoke probe (fixed-direction shifts)
         shift = np.array([1.0, 1.0, 1.0], np.float32) / np.sqrt(3.0)
-        scores = {}
+        rc = []
         for dist in (0.0, 2.0, 5.0, 10.0):
             x = x_gt.copy()
             x[lig] = x[lig] + dist * shift
@@ -302,29 +377,47 @@ def main():
                 np.asarray(p_plddt, np.float32),
                 x, f,
             )
-            scores[f"shift_{dist:g}A"] = {
-                "ranking_confidence": round(float(m["ranking_confidence"]), 4),
-                "mean_plddt": round(float(m["mean_plddt"]), 2),
-                "iptm": round(float(m["iptm"]), 4),
-            }
-        rc = [scores[f"shift_{d:g}A"]["ranking_confidence"] for d in (0, 2, 5, 10)]
-        scores["discriminates"] = bool(rc[0] > rc[2] > rc[3])
-        discrimination[name] = scores
-        print(f"  discrimination {name}: {scores}", flush=True)
+            rc.append(round(float(m["ranking_confidence"]), 4))
+        discrimination[name] = {
+            "ranking_confidence_by_shift": rc,
+            "discriminates": bool(rc[0] > rc[2] > rc[3]),
+        }
     worker.stop()
 
-    ok = all(
+    # pass: (1) ladder spearman <= -0.5 per system (confidence
+    # anti-correlates with RMSD), (2) conf-ranked top-1 at least as good
+    # as KMeans top-1 (small slack: memorized poses differ by ~0.01 A),
+    # (3) docked top-1 still < 2 A, (4) smoke probe discriminates
+    ok_ladder = all(
+        v["spearman_conf_vs_rmsd"] <= -0.5 for v in ladder.values()
+    )
+    ok_conf_rank = all(
+        "conf_top1_rmsd" in v
+        and v["conf_top1_rmsd"] <= v["kmeans_top1_rmsd"] + 0.05
+        for v in results.values()
+    )
+    ok_dock = all(
         "top_rmsd" in v and v["top_rmsd"] < 2.0 for v in results.values()
-    ) and all(d["discriminates"] for d in discrimination.values())
+    )
+    ok = (
+        ok_ladder
+        and ok_conf_rank
+        and ok_dock
+        and all(d["discriminates"] for d in discrimination.values())
+    )
     out = {
         "pass": ok,
+        "pass_ladder_spearman": ok_ladder,
+        "pass_conf_vs_kmeans_top1": ok_conf_rank,
         "steps": args.steps,
         "rollouts": rollouts,
+        "corrupt_pose_mix": 0.5,
         "final_logs": {k: round(float(v), 4) for k, v in logs.items()},
         "results": results,
+        "ladder": ladder,
         "discrimination": discrimination,
     }
-    with open("/root/repo/CONFIDENCE_GATE.json", "w") as f:
+    with open(args.gate_out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 
