@@ -195,8 +195,44 @@ class SystemFeaturizer:
                 chains[cid] = chain
                 # inline ligand metadata (our generate_system) or CCD lookup
                 for rid, ccd in enumerate(chain["ccds"]):
-                    if ccd not in self.ccd and "ligand_meta" in chain:
+                    if "ligand_meta" in chain and not rc.is_standard(ccd):
+                        # Inline meta is authoritative for THIS system:
+                        # always (re-)register. Different systems commonly
+                        # reuse a generic code (e.g. "LIG") for different
+                        # molecules; a registered-once cache would hand
+                        # system B system A's chemistry.
                         self.ccd.register_ligand(ccd, chain["ligand_meta"])
+                    # A perceived entry is only valid for the coordinates
+                    # it was perceived from — drop it if this system's
+                    # atom count disagrees (same-code collision).
+                    if (
+                        ccd in self.ccd
+                        and not rc.is_standard(ccd)
+                        and "ligand_meta" not in chain
+                        and len(
+                            self.ccd[ccd].get("ref_atom_name_chars", ())
+                        )
+                        != len(chain["all_atom_positions"][rid])
+                    ):
+                        logging.warning(
+                            "CCD %r cached with %d atoms but this system "
+                            "has %d — re-perceiving (same-code collision "
+                            "across systems)",
+                            ccd,
+                            len(self.ccd[ccd].get("ref_atom_name_chars", ())),
+                            len(chain["all_atom_positions"][rid]),
+                        )
+                        self.ccd.register_ligand(
+                            ccd,
+                            entry_from_positions(
+                                ccd,
+                                np.asarray(
+                                    chain["all_atom_positions"][rid],
+                                    np.float32,
+                                ),
+                                seed=self.seed,
+                            ),
+                        )
                     if ccd not in self.ccd and not rc.is_standard(ccd):
                         # reference-prepped pkl whose CCD metadata blob is
                         # unavailable: reconstruct approximate chemistry

@@ -160,7 +160,9 @@ def main():
     for s in train_pkls:
         f, meta, _ = worker.load(s, num_msa_rounds=2)
         feats_list.append(dict(f))
-        v = meta.get("batch_msa_feat") or []
+        v = meta.get("batch_msa_feat")
+        if v is None:
+            v = []
         msa_variants.append([np.asarray(x) for x in v])
 
     keys0 = set(feats_list[0])

@@ -139,3 +139,32 @@ def test_selfcontained_screening(tmp_path):
     for r in results:
         assert "error" not in r, r
         assert r["num_poses"] == 1
+
+
+def test_shared_ccd_code_across_systems_not_poisoned(tmp_path):
+    """Two systems whose ligands both use the generic "LIG" CCD code (every
+    system.py-built pkl does) must each featurize with their OWN chemistry.
+    Regression: the registry cached the first system's ligand_meta and the
+    second silently inherited it (wrong atoms or IndexError) — the exact
+    workflow of scripts/generalization_gate.py."""
+    from physdock_tpu.config import PhysDockConfig
+    from physdock_tpu.data.demo import make_demo_complex
+    from physdock_tpu.data.feature_loader import SystemFeaturizer
+    from physdock_tpu.utils.io import load_pkl
+
+    pkl_a = make_demo_complex(str(tmp_path / "a"), name="SYSA",
+                              smiles="CC(=O)Oc1ccccc1C(=O)O", seed=0)
+    pkl_b = make_demo_complex(str(tmp_path / "b"), name="SYSB",
+                              smiles="c1ccc2c(c1)Cc1ccccc1N2", seed=1)
+    n_a = len(load_pkl(pkl_a)["1"]["all_atom_positions"][0])
+    n_b = len(load_pkl(pkl_b)["1"]["all_atom_positions"][0])
+    assert n_a != n_b  # distinct molecules behind the same "LIG" code
+
+    cfg = PhysDockConfig.named(
+        "toy", crop_size=64, atom_crop_size=256, num_augmentation_sample=2)
+    fz = SystemFeaturizer(cfg.data, seed=0)
+    for pkl, n_lig in ((pkl_a, n_a), (pkl_b, n_b)):
+        feats, meta = fz.load(pkl)
+        ref_mol = meta.get("ref_mol")
+        assert ref_mol is not None and ref_mol.num_atoms == n_lig
+        assert np.isfinite(feats["ref_pos"]).all()
