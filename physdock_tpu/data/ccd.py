@@ -352,6 +352,17 @@ class CCDLibrary:
     def register_ligand(self, ccd: str, entry: Dict) -> None:
         self._ligands[ccd] = entry
 
+    def is_external(self, ccd: str) -> bool:
+        """True when `ccd` resolves from the authoritative external blob
+        (those entries must never be shadowed by coordinate-perceived
+        chemistry — feature_loader.load)."""
+        return ccd in self._external
+
+    def unregister_ligand(self, ccd: str) -> None:
+        """Drop a registered entry (restores external-blob resolution for
+        same-code shadows left by a previous system's inline meta)."""
+        self._ligands.pop(ccd, None)
+
     def __contains__(self, ccd: str) -> bool:
         return (
             ccd in self._ligands

@@ -25,6 +25,7 @@ System pkl schema (generate_system; matches the reference demo files):
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import logging
 import os
 from typing import Dict, List, Optional, Tuple
@@ -135,8 +136,6 @@ class SystemFeaturizer:
                 # loops all see identical draws.  A shared mutable stream
                 # here is how the round-3 overfit gate silently evaluated
                 # on features the model had never seen.
-                import hashlib
-
                 h = hashlib.md5(
                     f"{self.seed}:{system_id}".encode()
                 ).digest()
@@ -195,45 +194,57 @@ class SystemFeaturizer:
                 chains[cid] = chain
                 # inline ligand metadata (our generate_system) or CCD lookup
                 for rid, ccd in enumerate(chain["ccds"]):
-                    if "ligand_meta" in chain and not rc.is_standard(ccd):
+                    if rc.is_standard(ccd):
+                        continue
+                    # Registered generic-code entries (e.g. "LIG") are
+                    # scoped by a content hash of the GT coordinates they
+                    # belong to: two different ligands sharing a code —
+                    # even with the SAME atom count — never reuse each
+                    # other's chemistry (ADVICE r4 medium).
+                    pos_key = hashlib.md5(
+                        np.ascontiguousarray(
+                            np.asarray(
+                                chain["all_atom_positions"][rid], np.float32
+                            )
+                        ).tobytes()
+                    ).hexdigest()
+                    if "ligand_meta" in chain:
                         # Inline meta is authoritative for THIS system:
-                        # always (re-)register. Different systems commonly
-                        # reuse a generic code (e.g. "LIG") for different
-                        # molecules; a registered-once cache would hand
-                        # system B system A's chemistry.
-                        self.ccd.register_ligand(ccd, chain["ligand_meta"])
-                    # A perceived entry is only valid for the coordinates
-                    # it was perceived from — drop it if this system's
-                    # atom count disagrees (same-code collision).
+                        # always (re-)register, stamped with this system's
+                        # coordinate hash so later meta-less systems
+                        # reusing the code are detected below.
+                        entry = dict(chain["ligand_meta"])
+                        entry["_pos_key"] = pos_key
+                        self.ccd.register_ligand(ccd, entry)
+                        continue
+                    if self.ccd.is_external(ccd):
+                        # authoritative blob entry — never shadow it with
+                        # coordinate-perceived chemistry, and drop any
+                        # same-code shadow a previous system's inline meta
+                        # left behind (ADVICE r4 low)
+                        self.ccd.unregister_ligand(ccd)
+                        continue
                     if (
                         ccd in self.ccd
-                        and not rc.is_standard(ccd)
-                        and "ligand_meta" not in chain
-                        and len(
-                            self.ccd[ccd].get("ref_atom_name_chars", ())
-                        )
-                        != len(chain["all_atom_positions"][rid])
+                        and self.ccd[ccd].get("_pos_key") != pos_key
                     ):
                         logging.warning(
-                            "CCD %r cached with %d atoms but this system "
-                            "has %d — re-perceiving (same-code collision "
-                            "across systems)",
+                            "CCD %r cached for different coordinates — "
+                            "re-perceiving (same-code collision across "
+                            "systems)",
                             ccd,
-                            len(self.ccd[ccd].get("ref_atom_name_chars", ())),
-                            len(chain["all_atom_positions"][rid]),
                         )
-                        self.ccd.register_ligand(
+                        entry = entry_from_positions(
                             ccd,
-                            entry_from_positions(
-                                ccd,
-                                np.asarray(
-                                    chain["all_atom_positions"][rid],
-                                    np.float32,
-                                ),
-                                seed=self.seed,
+                            np.asarray(
+                                chain["all_atom_positions"][rid],
+                                np.float32,
                             ),
+                            seed=self.seed,
                         )
-                    if ccd not in self.ccd and not rc.is_standard(ccd):
+                        entry["_pos_key"] = pos_key
+                        self.ccd.register_ligand(ccd, entry)
+                    if ccd not in self.ccd:
                         # reference-prepped pkl whose CCD metadata blob is
                         # unavailable: reconstruct approximate chemistry
                         # from the GT coordinates (data/ccd.py)
@@ -247,17 +258,16 @@ class SystemFeaturizer:
                             "exact chemistry)",
                             ccd,
                         )
-                        self.ccd.register_ligand(
+                        entry = entry_from_positions(
                             ccd,
-                            entry_from_positions(
-                                ccd,
-                                np.asarray(
-                                    chain["all_atom_positions"][rid],
-                                    np.float32,
-                                ),
-                                seed=self.seed,
+                            np.asarray(
+                                chain["all_atom_positions"][rid],
+                                np.float32,
                             ),
+                            seed=self.seed,
                         )
+                        entry["_pos_key"] = pos_key
+                        self.ccd.register_ligand(ccd, entry)
                 if len(ligand_ids) == 1 and len(chain["ccds"]) == 1:
                     try:
                         ref_mol = self.ccd[chain["ccds"][0]].get("ref_mol")

@@ -133,6 +133,7 @@ def sample_diffusion(
     sample_key_offset=0,
     noise_override: Optional[Dict[str, jnp.ndarray]] = None,
     return_trajectory: bool = False,
+    sample_constraint=None,
 ) -> jnp.ndarray:
     """Run the EDM reverse pass; returns x [num_sample, A, 3].
 
@@ -157,7 +158,11 @@ def sample_diffusion(
       aug_t    [T, S, 3]      per-step augmentation translations
       churn_z  [T, S, A, 3]   per-step churn noise
     `return_trajectory` returns x after every step, [T, S, A, 3].
+    `sample_constraint` (optional, identity by default) is applied to every
+    per-sample carry tensor — infer/sharded.py passes a dp sharding
+    constraint on axis 0 so GSPMD partitions the reverse pass over chips.
     """
+    sc = sample_constraint if sample_constraint is not None else (lambda v: v)
     x_exists = batch["a_mask"].astype(jnp.float32)
     num_atoms = batch["ref_pos"].shape[-2]
 
@@ -190,8 +195,12 @@ def sample_diffusion(
         x_next = sigmas[0] * jax.vmap(
             lambda k: jax.random.normal(k, (num_atoms, 3), jnp.float32)
         )(k_init)
+    x_next = sc(x_next)
+    skeys = sc(skeys)
 
-    batch_ref_pos0 = jnp.repeat(batch["ref_pos"][None].astype(jnp.float32), num_sample, axis=0)
+    batch_ref_pos0 = sc(
+        jnp.repeat(batch["ref_pos"][None].astype(jnp.float32), num_sample, axis=0)
+    )
 
     has_conf = guidance is not None and align_ref_pos
     has_ff = guidance is not None and guidance.ff is not None
@@ -276,9 +285,9 @@ def sample_diffusion(
 
         dt = (t_next - t_hat)[:, None, None]
         eta = jnp.where(churn, step_scale_eta, ode_step_scale_eta)
-        x_out = x_hat + eta * dt * d_cur
+        x_out = sc(x_hat + eta * dt * d_cur)
         ys = x_out if return_trajectory else None
-        return (x_out, batch_ref_pos, skeys), ys
+        return (x_out, sc(batch_ref_pos), sc(skeys)), ys
 
     xs = (sigmas[:-1], sigmas[1:])
     if noise_override is not None:
