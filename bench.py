@@ -209,7 +209,6 @@ def main():
         fd = per_bucket[bucket]
         if fd:
             total_flops += fd["flops_per_system_round"] * r["rounds"]
-    fdata = next(iter(per_bucket.values()), None)
     if total_flops:
         achieved_tflops = total_flops / dt / 1e12
         peak = peak_flops_for(device_kind)
@@ -238,9 +237,15 @@ def main():
                     else None
                 ),
                 "device_kind": device_kind,
-                "flops_per_system_round": (
-                    fdata["flops_per_system_round"] if fdata else None
-                ),
+                # per-bucket, not first-bucket: systems span several atom
+                # buckets (1344..1920) with different FLOP counts (ADVICE r4)
+                "flops_per_system_round_by_bucket": {
+                    f"{b[0]}x{b[1]}": (
+                        fd["flops_per_system_round"] if fd else None
+                    )
+                    for b, fd in sorted(per_bucket.items())
+                },
+                "total_flops": total_flops if total_flops else None,
                 "vs_baseline": round(poses_per_sec / baseline, 3),
                 "baseline_note": (
                     "denominator is an ASSUMED A100 0.02 poses/s x5 target; "

@@ -36,6 +36,14 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "ema" in ckpt:
         state = ckpt["ema"].get("params", ckpt.get("model"))
+        if state is None:
+            raise ValueError(
+                "Uni-Core checkpoint has an 'ema' key but neither "
+                "ckpt['ema']['params'] nor ckpt['model'] exists; expected "
+                "the train.sh layout {'ema': {'params': state_dict}, ...} "
+                f"(got ema keys {sorted(ckpt['ema'])[:8]}, "
+                f"top-level keys {sorted(ckpt)[:8]})"
+            )
     elif isinstance(ckpt, dict) and "model" in ckpt and not any(
         hasattr(v, "numpy") for v in list(ckpt.values())[:3]
     ):

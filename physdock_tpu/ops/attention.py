@@ -210,6 +210,10 @@ def _tp_sharded_flash(q, k, v, bias):
         mesh=mesh,
         in_specs=(qspec, rep, rep, bspec),
         out_specs=qspec,
+        # some kernel variants return ShapeDtypeStructs without vma
+        # annotations (cross-attention s_q != s_k picks the folded path);
+        # the specs above are explicit, so skip the vma check
+        check_vma=False,
     )(q, k, v, b)
 
 
@@ -222,7 +226,7 @@ def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
 
     if impl == "xla":
         return sdpa_xla(q, k, v, bias)
-    from physdock_tpu.parallel.tp import tp_active
+    from physdock_tpu.parallel.tp import current_tp_mesh, tp_active
 
     interpret_env = os.environ.get("PHYSDOCK_FLASH_INTERPRET") == "1"
     if tp_active():
@@ -236,6 +240,16 @@ def dot_product_attention(q, k, v, bias=None, impl: str = "auto"):
             except Exception:
                 if impl == "flash":
                     raise
+        if impl == "flash":
+            # an explicit 'flash' request must not silently run XLA — a
+            # dead Pallas path under tp would otherwise be invisible in
+            # TP benchmarks (ADVICE r4)
+            raise ValueError(
+                "impl='flash' requested but the tp-sharded flash path "
+                f"declined (q {q.shape}, k {k.shape}, tp mesh "
+                f"{dict(current_tp_mesh().shape) if current_tp_mesh() else None}): "
+                "shape does not tile per-shard, or not on TPU/interpret"
+            )
         return sdpa_xla(q, k, v, bias)
     if impl in ("auto", "flash"):
         s_q, s_k, d = q.shape[-2], k.shape[-2], q.shape[-1]

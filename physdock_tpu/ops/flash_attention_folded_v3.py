@@ -1,10 +1,13 @@
 """Stacked-head folded flash attention: zero per-head masking of k/v.
 
 The v1 folded kernel (flash_attention_folded.py) is VPU-bound, not
-HBM-bound: the manual-DMA experiment (v2) that eliminated 90% of bias
-traffic measured the SAME 3.0 ms, while the per-head inner loop masks
-k AND v with the head's lane mask on every k-step (h * 2 * s_k * hd
-multiplies per sample per q-tile) and runs h sequential small matmuls.
+HBM-bound.  A deleted manual-DMA experiment ("v2": bias tile DMA'd once
+per q-tile into VMEM scratch and kept resident across batch groups,
+eliminating ~90% of bias HBM traffic) measured the SAME ~3.0 ms at the
+production shape (B=20, S=2048, H=4, D=32, bf16) — negative result: the
+bottleneck is the per-head inner loop, which masks k AND v with the
+head's lane mask on every k-step (h * 2 * s_k * hd multiplies per sample
+per q-tile) and runs h sequential small matmuls.
 
 v3 restructures so the lane mask is applied ONCE to q:
 
@@ -95,8 +98,8 @@ def pick_tiles_folded_v3(n_batch, s_q, s_k, hd, h, itemsize: int = 2):
     fp32 stacked accumulator/logits scratch (h*bq rows).
 
     bq128/g4 measured fastest at the production shape (2.77 ms vs v1's
-    2.96 at B=20, S=2048; scripts/folded_v2_tune_tpu.py) — larger bq
-    blows VMEM with the h*bq-row stacked accumulator."""
+    2.96 at B=20, S=2048; on-chip tune, round 3) — larger bq blows VMEM
+    with the h*bq-row stacked accumulator."""
     for bq, group in ((128, 4), (128, 2), (128, 1)):
         if s_q % bq or n_batch % group:
             continue

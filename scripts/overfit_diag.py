@@ -18,8 +18,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEMO_DIR = "/root/reference/demo/redocking/Posebusters_subset"
-DEMO_MSA = "/root/reference/demo/redocking/features"
+from physdock_tpu.utils.demo_assets import (
+    redocking_features_dir,
+    redocking_systems_dir,
+)
+
+DEMO_DIR = redocking_systems_dir()
+DEMO_MSA = redocking_features_dir()
 
 
 def main():

@@ -209,6 +209,7 @@ def main():
     print("training...", flush=True)
     t0 = time.time()
     losses = []
+    term_hist = []
     steps_reached = start_step
     for step_i in range(start_step, args.steps):
         # the first step pays the XLA compile (~minutes via the tunnel):
@@ -226,11 +227,22 @@ def main():
         state, logs = train_step(state, build_batch(step_i), k_step)
         steps_reached = step_i + 1
         losses.append(float(logs["loss"]))
+        term_hist.append(
+            {k: float(v) for k, v in logs.items() if k != "loss"}
+        )
         if (step_i + 1) % 25 == 0:
             recent = np.mean(losses[-25:])
+            terms = {
+                k: float(np.mean([h[k] for h in term_hist[-25:]]))
+                for k in term_hist[-1]
+            }
+            tstr = " ".join(
+                f"{k.replace('_loss', '')}={v:.3f}" for k, v in terms.items()
+            )
             print(
                 f"step {step_i+1} loss {recent:.4f} "
-                f"({(time.time()-t0)/max(step_i+1-start_step,1):.2f}s/step)",
+                f"({(time.time()-t0)/max(step_i+1-start_step,1):.2f}s/step) "
+                f"[{tstr}]",
                 flush=True,
             )
         if (step_i + 1) % args.ckpt_every == 0:

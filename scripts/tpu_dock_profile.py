@@ -9,6 +9,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+from physdock_tpu.utils.demo_assets import system_preparation_dir
 
 
 def force(x):
@@ -37,7 +38,7 @@ def main():
         (256, 2048, 128, 20, 40) if on_tpu else (32, 96, 8, 2, 4)
     )
 
-    mol = read_sdf("/root/reference/demo/system_preparation/EJQ.sdf")
+    mol = read_sdf(f"{system_preparation_dir()}/EJQ.sdf")
     L = mol.num_atoms
     cfg = PhysDockConfig.named(name, bf16=on_tpu, num_augmentation_sample=2)
     model = PhysDock(cfg=cfg.model, dtype=cfg.dtypes.compute_dtype)

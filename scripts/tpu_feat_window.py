@@ -20,6 +20,10 @@ def main():
     from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
     from physdock_tpu.cli.common import load_params
     from physdock_tpu.model.compact import compact_batch_np
+    from physdock_tpu.utils.demo_assets import (
+        redocking_features_dir,
+        redocking_systems_dir,
+    )
 
     cfg = PhysDockConfig.named(
         "medium", crop_size=256, atom_crop_size=2048, bf16=True,
@@ -27,8 +31,8 @@ def main():
     )
     fz = SystemFeaturizer(
         cfg.data,
-        msa_features_dir="/root/reference/demo/redocking/features/msa_features",
-        uniprot_msa_features_dir="/root/reference/demo/redocking/features/uniprot_msa_features",
+        msa_features_dir=f"{redocking_features_dir()}/msa_features",
+        uniprot_msa_features_dir=f"{redocking_features_dir()}/uniprot_msa_features",
         inference_mode=True, seed=0,
     )
     params = load_params(None, cfg)
@@ -36,7 +40,7 @@ def main():
         max_samples=40, num_samples_per_round=20, max_rounds=2, steps=40,
         enable_physics_correction=True, num_confs=128, enable_ranking=True,
     ))
-    pkl = "/root/reference/demo/redocking/Posebusters_subset/5SAK_ZRY_A_1.pkl.gz"
+    pkl = f"{redocking_systems_dir()}/5SAK_ZRY_A_1.pkl.gz"
 
     for it in range(3):
         t0 = time.perf_counter()

@@ -13,6 +13,10 @@ def main():
     import jax
 
     from physdock_tpu.utils.compile_cache import enable as enable_cc
+    from physdock_tpu.utils.demo_assets import (
+        redocking_features_dir,
+        redocking_systems_dir,
+    )
 
     # persistent XLA cache: a second process re-docking the same buckets
     # must pay ~0 compile time (VERDICT r2 item 10 done-condition)
@@ -31,8 +35,8 @@ def main():
     )
     fz = SystemFeaturizer(
         cfg.data,
-        msa_features_dir="/root/reference/demo/redocking/features/msa_features",
-        uniprot_msa_features_dir="/root/reference/demo/redocking/features/uniprot_msa_features",
+        msa_features_dir=f"{redocking_features_dir()}/msa_features",
+        uniprot_msa_features_dir=f"{redocking_features_dir()}/uniprot_msa_features",
         seed=0,
     )
     params = load_params(None, cfg)
@@ -56,8 +60,8 @@ def main():
     _comp.backend_compile_and_load = counted
 
     systems = [
-        "/root/reference/demo/redocking/Posebusters_subset/5SAK_ZRY_A_1.pkl.gz",
-        "/root/reference/demo/redocking/Posebusters_subset/5SD5_HWI_A_1.pkl.gz",
+        f"{redocking_systems_dir()}/5SAK_ZRY_A_1.pkl.gz",
+        f"{redocking_systems_dir()}/5SD5_HWI_A_1.pkl.gz",
     ]
     for i, pkl in enumerate(systems):
         t0 = time.perf_counter()

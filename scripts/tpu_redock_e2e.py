@@ -8,12 +8,13 @@ from physdock_tpu.data.feature_loader import SystemFeaturizer
 from physdock_tpu.data.system import generate_system
 from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
 from physdock_tpu.cli.common import load_params
+from physdock_tpu.utils.demo_assets import system_preparation_dir
 
 def log(m): print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 
 pkl = generate_system(
-    "/root/reference/demo/system_preparation/receptor.pdb",
-    "/root/reference/demo/system_preparation/EJQ.sdf",
+    f"{system_preparation_dir()}/receptor.pdb",
+    f"{system_preparation_dir()}/EJQ.sdf",
     output_dir="/tmp/tpu_e2e/sys",
 )
 log(f"system: {pkl}")

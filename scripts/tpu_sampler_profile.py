@@ -48,6 +48,46 @@ def timeit(fn, *args, warmup=2, iters=5):
     return min(ts)
 
 
+def timeit_looped(stage, carry_init, extra, reps, iters=3):
+    """One-dispatch repeat timer: run `stage` `reps` times inside a
+    lax.fori_loop, threading a real data dependency through the carry so
+    XLA can neither hoist the body nor skip iterations.
+
+    Per-call dispatch over the axon tunnel costs ~20-25 ms — timing a
+    ~10 ms stage call-by-call inflates it 3x, which is exactly how the
+    round-4 STAGE_PROFILE got NEGATIVE glue terms (sub-stages summed to
+    more than the whole; VERDICT r4 weak #3).  `stage(carry, *extra)`
+    must return either a tensor of carry's shape (used as the next
+    carry) or any pytree (reduced to a scalar folded into the carry).
+    `extra` (params etc.) is passed as jit arguments, never closed over
+    (tunnel rule: baked device constants blow up the compile payload).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def run(c0, *ex):
+        def body(_, c):
+            out = stage(c, *ex)
+            if isinstance(out, jax.Array) and out.shape == c.shape:
+                return out.astype(c.dtype)
+            s = sum(
+                jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree_util.tree_leaves(out)
+            )
+            return c * (1.0 + 1e-30 * s.astype(c.dtype))
+
+        return jax.lax.fori_loop(0, reps, body, c0)
+
+    fn = jax.jit(run)
+    force(fn(carry_init, *extra))  # compile + warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        force(fn(carry_init, *extra))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / reps
+
+
 def main():
     import jax
 
@@ -88,11 +128,6 @@ def main():
     )
     bc = bias_fn(params, batch, ap, z)
 
-    denoise_fn = jax.jit(
-        lambda p, b, x, t, a_, ap_, s_, z_, bc_: model.apply(
-            p, b, x, t, a_, ap_, s_, z_, bias_cache=bc_, method="denoise"
-        )
-    )
     key = jax.random.PRNGKey(2)
     x_hat = 16.0 * jax.random.normal(key, (S, n_atoms, 3), jnp.float32)
     t_hat = jnp.full((S,), 16.0, jnp.float32)
@@ -106,31 +141,6 @@ def main():
     # the time embedder is shared and costs ~nothing)
     def _t(mdl, th):
         return mdl.dit.time_embedder(th)
-
-    enc_fn = jax.jit(
-        lambda p, ba, th, bc_: model.apply(
-            p, ba, th, bc_,
-            method=lambda mdl, ba_, th_, b_: mdl.dit.atom_dit_encoder(
-                ba_, None, _t(mdl, th_), None, None, cached_bias=b_["atom_enc"]
-            ),
-        )
-    )
-    tok_fn = jax.jit(
-        lambda p, bs, th, bc_: model.apply(
-            p, bs, th, bc_,
-            method=lambda mdl, bs_, th_, b_: mdl.dit.token_dit(
-                bs_, None, _t(mdl, th_), None, None, cached_bias=b_["token"]
-            ),
-        )
-    )
-    dec_fn = jax.jit(
-        lambda p, ba, th, bc_: model.apply(
-            p, ba, th, bc_,
-            method=lambda mdl, ba_, th_, b_: mdl.dit.atom_dit_decoder(
-                ba_, None, _t(mdl, th_), None, None, cached_bias=b_["atom_dec"]
-            ),
-        )
-    )
 
     samp_fn = jax.jit(
         lambda p, b, k, c: sample_diffusion(
@@ -164,15 +174,53 @@ def main():
         )
     )
 
+    # small stages: loop-amortized single-dispatch timing (tunnel
+    # round-trips otherwise dominate and the glue terms go negative)
+    REPS = 8 if on_tpu else 2
     times = {}
-    times["cond"] = timeit(cond_fn, params, batch, warmup=1, iters=3)
-    times["bias_cache"] = timeit(bias_fn, params, batch, ap, z)
-    times["denoise_full"] = timeit(
-        denoise_fn, params, batch, x_hat, t_hat, a, ap, s, z, bc
+    times["cond"] = timeit_looped(
+        lambda c, p: model.apply(p, {**batch, "ref_pos": c}, method="conditioning"),
+        batch["ref_pos"], (params,), REPS,
     )
-    times["atom_enc"] = timeit(enc_fn, params, ba0, t_hat, bc)
-    times["token_dit"] = timeit(tok_fn, params, bs0, t_hat, bc)
-    times["atom_dec"] = timeit(dec_fn, params, ba0, t_hat, bc)
+    times["bias_cache"] = timeit_looped(
+        lambda c, p: model.apply(p, batch, ap, c, method="denoise_bias_cache"),
+        z, (params,), REPS,
+    )
+    times["denoise_full"] = timeit_looped(
+        lambda c, p, a_, ap_, s_, z_, bc_: model.apply(
+            p, batch, c, t_hat, a_, ap_, s_, z_, bias_cache=bc_,
+            method="denoise",
+        ),
+        x_hat, (params, a, ap, s, z, bc), REPS,
+    )
+    times["atom_enc"] = timeit_looped(
+        lambda c, p, bc_: model.apply(
+            p, c, t_hat, bc_,
+            method=lambda mdl, ba_, th_, b_: mdl.dit.atom_dit_encoder(
+                ba_, None, _t(mdl, th_), None, None, cached_bias=b_["atom_enc"]
+            ),
+        ),
+        ba0, (params, bc), REPS,
+    )
+    times["token_dit"] = timeit_looped(
+        lambda c, p, bc_: model.apply(
+            p, c, t_hat, bc_,
+            method=lambda mdl, bs_, th_, b_: mdl.dit.token_dit(
+                bs_, None, _t(mdl, th_), None, None, cached_bias=b_["token"]
+            ),
+        ),
+        bs0, (params, bc), REPS,
+    )
+    times["atom_dec"] = timeit_looped(
+        lambda c, p, bc_: model.apply(
+            p, c, t_hat, bc_,
+            method=lambda mdl, ba_, th_, b_: mdl.dit.atom_dit_decoder(
+                ba_, None, _t(mdl, th_), None, None, cached_bias=b_["atom_dec"]
+            ),
+        ),
+        ba0, (params, bc), REPS,
+    )
+    # the samplers are already one dispatch per call (whole scan inside)
     times["sampler"] = timeit(
         samp_fn, params, batch, key, (a, ap, s, z), warmup=1, iters=3
     )

@@ -5,10 +5,11 @@ from physdock_tpu.config import PhysDockConfig
 from physdock_tpu.data.feature_loader import SystemFeaturizer
 from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
 from physdock_tpu.cli.common import load_params
+from physdock_tpu.utils.demo_assets import screening_dir
 
 def log(m): print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 
-DEMO = "/root/reference/demo/screening"
+DEMO = screening_dir()
 cfg = PhysDockConfig.named("medium", crop_size=256, atom_crop_size=2048, bf16=True,
                            num_augmentation_sample=2)
 fz = SystemFeaturizer(

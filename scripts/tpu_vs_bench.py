@@ -25,6 +25,7 @@ def main():
     from physdock_tpu.config import PhysDockConfig
     from physdock_tpu.data.feature_loader import SystemFeaturizer
     from physdock_tpu.infer.pipeline import DockingPipeline, SamplerSettings
+    from physdock_tpu.utils.demo_assets import screening_dir
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else len(SMILES)
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -44,7 +45,7 @@ def main():
         num_confs=32, enable_ranking=False, seed=0,
     )
     pipe = DockingPipeline(cfg, params, fz, settings)
-    receptor = "/root/reference/demo/screening/6kzd.pkl.gz"
+    receptor = f"{screening_dir()}/6kzd.pkl.gz"
 
     # sequential (warm + timed)
     pipe.screen(receptor, SMILES[:1], "/tmp/vs_seq", write_outputs=False)

@@ -15,7 +15,9 @@ import pytest
 from physdock_tpu.data.smiles import mol_from_smiles
 from physdock_tpu.infer.relax import check_pose
 
-SDF = "/root/reference/demo/system_preparation/EJQ.sdf"
+from physdock_tpu.utils.demo_assets import system_preparation_dir
+
+SDF = f"{system_preparation_dir()}/EJQ.sdf"
 
 
 def _meta(mol):

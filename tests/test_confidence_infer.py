@@ -8,7 +8,9 @@ import os
 import numpy as np
 import pytest
 
-DEMO = "/root/reference/demo/system_preparation"
+from physdock_tpu.utils.demo_assets import system_preparation_dir
+
+DEMO = system_preparation_dir()
 
 
 @pytest.mark.slow

@@ -18,7 +18,9 @@ from physdock_tpu.data.schema import validate_batch
 from physdock_tpu.data.smiles import mol_from_smiles, parse_smiles
 from physdock_tpu.data.system import generate_system
 
-DEMO = "/root/reference/demo"
+from physdock_tpu.utils.demo_assets import demo_root
+
+DEMO = demo_root()
 EJQ = f"{DEMO}/system_preparation/EJQ.sdf"
 RECEPTOR = f"{DEMO}/system_preparation/receptor.pdb"
 HAVE_DEMO = os.path.exists(EJQ)
@@ -155,7 +157,7 @@ def test_molecule_from_positions_recovers_topology():
     from physdock_tpu.data.ccd import molecule_from_positions
     from physdock_tpu.data.mol import read_sdf
 
-    mol = read_sdf("/root/reference/demo/system_preparation/EJQ.sdf")
+    mol = read_sdf(f"{DEMO}/system_preparation/EJQ.sdf")
     rec = molecule_from_positions(mol.coords)
     gt_bonds = {tuple(sorted((i, j))) for i, j, _ in mol.bonds}
     rec_bonds = {tuple(sorted((i, j))) for i, j, _ in rec.bonds}
@@ -174,7 +176,7 @@ def test_reference_demo_pkl_featurizes_without_sdf():
     from physdock_tpu.data.feature_loader import SystemFeaturizer
     from physdock_tpu.data.schema import validate_batch
 
-    pkl = "/root/reference/demo/redocking/Posebusters_subset/5SAK_ZRY_A_1.pkl.gz"
+    pkl = f"{DEMO}/redocking/Posebusters_subset/5SAK_ZRY_A_1.pkl.gz"
     if not os.path.exists(pkl):
         import pytest
 

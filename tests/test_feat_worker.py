@@ -8,8 +8,10 @@ from physdock_tpu.config import PhysDockConfig
 from physdock_tpu.data.feat_worker import FeaturizerWorker
 from physdock_tpu.data.feature_loader import SystemFeaturizer
 
-PKL = "/root/reference/demo/redocking/Posebusters_subset/5SAK_ZRY_A_1.pkl.gz"
-MSA = "/root/reference/demo/redocking/features"
+from physdock_tpu.utils.demo_assets import redocking_features_dir, redocking_systems_dir
+
+PKL = f"{redocking_systems_dir()}/5SAK_ZRY_A_1.pkl.gz"
+MSA = redocking_features_dir()
 
 
 @pytest.fixture(scope="module")
@@ -131,7 +133,7 @@ def test_dock_many_prefetch_matches_sequential(cfg):
 
     systems = [
         PKL,
-        "/root/reference/demo/redocking/Posebusters_subset/5SD5_HWI_A_1.pkl.gz",
+        f"{redocking_systems_dir()}/5SD5_HWI_A_1.pkl.gz",
     ]
     kw = dict(
         msa_features_dir=f"{MSA}/msa_features",
@@ -175,7 +177,7 @@ def test_abandoned_request_never_pairs_with_wrong_system(cfg):
 
     if not os.path.exists(PKL):
         pytest.skip("demo assets unavailable")
-    PKL2 = "/root/reference/demo/redocking/Posebusters_subset/5SD5_HWI_A_1.pkl.gz"
+    PKL2 = f"{redocking_systems_dir()}/5SD5_HWI_A_1.pkl.gz"
     kw = dict(
         msa_features_dir=f"{MSA}/msa_features",
         uniprot_msa_features_dir=f"{MSA}/uniprot_msa_features",
@@ -288,7 +290,7 @@ def test_dock_many_batched(cfg):
 
     systems = [
         PKL,
-        "/root/reference/demo/redocking/Posebusters_subset/5SD5_HWI_A_1.pkl.gz",
+        f"{redocking_systems_dir()}/5SD5_HWI_A_1.pkl.gz",
     ]
     kw = dict(
         msa_features_dir=f"{MSA}/msa_features",

@@ -18,7 +18,9 @@ import pytest
 from physdock_tpu.config import DataConfig
 from physdock_tpu.data.feature_loader import SystemFeaturizer
 
-DEMO = "/root/reference/demo"
+from physdock_tpu.utils.demo_assets import demo_root
+
+DEMO = demo_root()
 PB = f"{DEMO}/redocking/Posebusters_subset"
 MSA = f"{DEMO}/redocking/features"
 HAVE_DEMO = os.path.exists(PB)

@@ -141,30 +141,6 @@ def test_pallas_backward_matches_vjp_interpret():
         assert err < 5e-4, (name, err)
 
 
-def test_folded_v2_manual_dma_matches_xla_interpret():
-    """Manual-DMA folded kernel (bias resident across batch groups) vs the
-    XLA reference, interpret mode, both grid phases (group 0 loads the
-    bias tile, later groups reuse it)."""
-    from physdock_tpu.ops.flash_attention_folded_v2 import flash_sdpa_folded_v2
-
-    b, h, s, d = 4, 4, 256, 32
-    hd = h * d
-    ks = jax.random.split(jax.random.PRNGKey(11), 4)
-    q = jax.random.normal(ks[0], (b, s, hd), jnp.float32)
-    k = jax.random.normal(ks[1], (b, s, hd), jnp.float32)
-    v = jax.random.normal(ks[2], (b, s, hd), jnp.float32)
-    bias = jax.random.normal(ks[3], (h, s, s), jnp.float32)
-
-    def split(x):
-        return jnp.transpose(x.reshape(b, s, h, d), (0, 2, 1, 3))
-
-    ref = jnp.transpose(
-        sdpa_xla(split(q), split(k), split(v), bias[None]), (0, 2, 1, 3)
-    ).reshape(b, s, hd)
-    got = flash_sdpa_folded_v2(q, k, v, bias, h, interpret=True, bq=128, group=2)
-    assert np.abs(np.asarray(got - ref)).max() < 2e-5
-
-
 def test_folded_v3_stacked_heads_matches_xla_interpret():
     """Stacked-head folded kernel (lane-masked q, unmasked k/v, diagonal
     block extraction) vs the XLA reference, interpret mode."""

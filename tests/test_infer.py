@@ -5,6 +5,11 @@ import pytest
 
 from physdock_tpu.infer import metrics as M
 from physdock_tpu.infer import ranking as R
+from physdock_tpu.utils.demo_assets import system_preparation_dir
+
+
+def _demo_sdf():
+    return f"{system_preparation_dir()}/EJQ.sdf"
 
 
 def test_pairwise_rmsd_and_global_medoid():
@@ -61,7 +66,7 @@ def test_clash_detection():
 def test_check_pose_on_demo_ligand():
     import os
 
-    sdf = "/root/reference/demo/system_preparation/EJQ.sdf"
+    sdf = _demo_sdf()
     if not os.path.exists(sdf):
         pytest.skip("demo assets unavailable")
     from physdock_tpu.data.mol import read_sdf
@@ -85,7 +90,7 @@ def test_check_pose_on_demo_ligand():
 def test_relax_complex_reduces_ligand_strain():
     import os
 
-    sdf = "/root/reference/demo/system_preparation/EJQ.sdf"
+    sdf = _demo_sdf()
     if not os.path.exists(sdf):
         pytest.skip("demo assets unavailable")
     from physdock_tpu.data.mol import read_sdf

@@ -10,7 +10,10 @@ import os
 import numpy as np
 import pytest
 
-DEMO = "/root/reference/demo/system_preparation"
+from physdock_tpu.utils.demo_assets import screening_dir, system_preparation_dir
+
+DEMO = system_preparation_dir()
+SCREEN_PKL = os.path.join(screening_dir(), "6kzd.pkl.gz")
 
 
 @pytest.mark.slow
@@ -66,7 +69,7 @@ def test_redock_pipeline_end_to_end(tmp_path, toy_config):
 
 @pytest.mark.slow
 @pytest.mark.skipif(
-    not os.path.exists("/root/reference/demo/screening/6kzd.pkl.gz"),
+    not os.path.exists(SCREEN_PKL),
     reason="demo assets unavailable",
 )
 def test_screening_pipeline_end_to_end(tmp_path, toy_config):
@@ -94,7 +97,7 @@ def test_screening_pipeline_end_to_end(tmp_path, toy_config):
         ),
     )
     results = pipe.screen(
-        "/root/reference/demo/screening/6kzd.pkl.gz",
+        SCREEN_PKL,
         ["CCOc1ccccc1"],
         str(tmp_path / "vs"),
     )
@@ -105,7 +108,7 @@ def test_screening_pipeline_end_to_end(tmp_path, toy_config):
 
 @pytest.mark.slow
 @pytest.mark.skipif(
-    not os.path.exists("/root/reference/demo/screening/6kzd.pkl.gz"),
+    not os.path.exists(SCREEN_PKL),
     reason="demo assets unavailable",
 )
 def test_screening_batched_multi_ligand(tmp_path):
@@ -137,7 +140,7 @@ def test_screening_batched_multi_ligand(tmp_path):
     )
     smiles = ["CCOc1ccccc1", "CCNC(=O)c1ccccc1", "CCCCO"]
     results = pipe.screen(
-        "/root/reference/demo/screening/6kzd.pkl.gz",
+        SCREEN_PKL,
         smiles,
         str(tmp_path / "vs"),
         batch_size=3,
