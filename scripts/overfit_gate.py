@@ -50,6 +50,16 @@ def main():
         help="where to write the gate artifact",
     )
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--attn_impl", default="auto", choices=["auto", "xla", "flash"],
+        help="attention dispatch for TRAINING (round-5 probe: xla rules "
+        "the Pallas kernels in/out as the large-shape plateau cause)",
+    )
+    p.add_argument(
+        "--limit_systems", type=int, default=0,
+        help="train/dock only the first N demo systems (0 = all); used by "
+        "the round-5 crop-bisect probes to isolate batch-size effects",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", default=None, help="orbax ckpt dir to resume")
     p.add_argument("--dock_steps", type=int, default=40)
@@ -109,6 +119,8 @@ def main():
 
     systems = sorted(glob.glob(f"{DEMO_DIR}/*.pkl.gz"))
     assert systems, "demo systems unavailable"
+    if args.limit_systems:
+        systems = systems[: args.limit_systems]
 
     # featurize every system once; per-round MSA variants give training
     # diversity (the dock-time featurizer resamples MSA the same way)
@@ -143,7 +155,10 @@ def main():
     group_idx = list(groups.values())
     print(f"bucket groups: {[len(g) for g in group_idx]}", flush=True)
 
-    model = PhysDock(cfg=cfg.model, dtype=cfg.dtypes.compute_dtype)
+    model = PhysDock(
+        cfg=cfg.model, dtype=cfg.dtypes.compute_dtype,
+        attn_impl=args.attn_impl,
+    )
     optimizer = make_optimizer(args.lr, args.warmup)
     mesh = make_mesh(dp=1)
 
