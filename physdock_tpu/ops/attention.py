@@ -103,15 +103,15 @@ def _folded_diff_fwd(q, k, v, bias):
     # recompute backward materialized them twice)
     from physdock_tpu.ops.flash_attention_bwd import flash_fwd_lse
 
-    o, lse = flash_fwd_lse(q, k, v, bias)
-    return o, (q, k, v, bias, o, lse)
+    o, m, l = flash_fwd_lse(q, k, v, bias)
+    return o, (q, k, v, bias, o, m, l)
 
 
 def _folded_diff_bwd(res, g):
     from physdock_tpu.ops.flash_attention_bwd import flash_bwd
 
-    q, k, v, bias, o, lse = res
-    dq, dk, dv, db = flash_bwd(q, k, v, bias, o, lse, g.astype(q.dtype))
+    q, k, v, bias, o, m, l = res
+    dq, dk, dv, db = flash_bwd(q, k, v, bias, o, m, l, g.astype(q.dtype))
     return dq, dk, dv, db.astype(bias.dtype)
 
 

@@ -39,16 +39,23 @@ BK = 128
 
 
 def flash_fwd_lse(q, k, v, bias, interpret: bool = False):
-    """Forward with lse output. q/k/v: [B, H, S, D]; bias [H, S, S].
+    """Forward with softmax stats. q/k/v: [B, H, S, D]; bias [H, S, S].
 
-    Returns (o [B,H,S,D], lse [B,H,S]).
+    Returns (o [B,H,S,D], m [B,H,S], l [B,H,S]): the row max and row
+    normalizer SEPARATELY, not fused as lse = m + log(l).  The backward
+    recomputes p = exp(logits - m) / l; with -1e9 mask biases the m
+    subtraction cancels the -1e9 exactly (both operands round to the same
+    fp32), whereas a fused lse loses log(l) below ulp(1e9) = 64 and the
+    recomputed p explodes to 1 instead of 1/l on fully-masked rows —
+    which poisoned every gradient at padded atom buckets (round-5
+    256/2048 training plateau).
     """
     n_batch, h, s_q, d = q.shape
     s_k = k.shape[-2]
     assert bias.shape == (h, s_q, s_k)
     scale = 1.0 / math.sqrt(d)
 
-    def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref):
+    def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_ref, l_ref):
         q_ = q_ref[0, 0].astype(jnp.float32)
         num_k = s_k // BK
 
@@ -78,9 +85,10 @@ def flash_fwd_lse(q, k, v, bias, interpret: bool = False):
         l0 = jnp.zeros((BQ, 1), jnp.float32)
         acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
         o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m + jnp.log(l)).astype(jnp.float32)
+        m_ref[0, 0] = m.astype(jnp.float32)
+        l_ref[0, 0] = l.astype(jnp.float32)
 
-    o, lse = pl.pallas_call(
+    o, m, l = pl.pallas_call(
         kernel,
         grid=(n_batch, h, s_q // BQ),
         in_specs=[
@@ -98,18 +106,21 @@ def flash_fwd_lse(q, k, v, bias, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BQ, 1), lambda b, hh, i: (b, hh, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BQ, 1), lambda b, hh, i: (b, hh, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_batch, h, s_q, d), q.dtype),
             jax.ShapeDtypeStruct((n_batch, h, s_q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_batch, h, s_q, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, bias)
-    return o, lse[..., 0]
+    return o, m[..., 0], l[..., 0]
 
 
 def _bwd_q_kernel(
-    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, b_ref, do_ref, m_ref, l_ref, delta_ref,
     dq_ref, db_ref, *, scale, s_k, n_batch,
 ):
     # grid is (h, q_tiles, batch) with batch FASTEST so the dbias block
@@ -117,7 +128,8 @@ def _bwd_q_kernel(
     b_idx = pl.program_id(2)
     q_ = q_ref[0, 0].astype(jnp.float32)
     do_ = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0].astype(jnp.float32)
+    m = m_ref[0, 0].astype(jnp.float32)
+    l_inv = 1.0 / l_ref[0, 0].astype(jnp.float32)
     delta = delta_ref[0, 0].astype(jnp.float32)
     num_k = s_k // BK
 
@@ -137,7 +149,10 @@ def _bwd_q_kernel(
             * scale
             + b_
         )
-        p = jnp.exp(logits - lse)
+        # p = exp(logits - m) / l, NOT exp(logits - lse): subtracting the
+        # stored row max cancels -1e9 mask biases exactly (see
+        # flash_fwd_lse docstring)
+        p = jnp.exp(logits - m) * l_inv
         dp = jax.lax.dot_general(
             do_, v_, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -151,7 +166,7 @@ def _bwd_q_kernel(
 
 
 def _bwd_kv_kernel(
-    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, b_ref, do_ref, m_ref, l_ref, delta_ref,
     dk_ref, dv_ref, *, scale, s_q,
 ):
     k_ = k_ref[0, 0].astype(jnp.float32)
@@ -162,7 +177,8 @@ def _bwd_kv_kernel(
         dk, dv = carry
         q_ = q_ref[0, 0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
         do_ = do_ref[0, 0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
+        m = m_ref[0, 0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
+        l_inv = 1.0 / l_ref[0, 0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
         delta = delta_ref[0, 0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
         b_ = b_ref[0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
         logits = (
@@ -173,7 +189,7 @@ def _bwd_kv_kernel(
             * scale
             + b_
         )
-        p = jnp.exp(logits - lse)  # [BQ, BKblk]
+        p = jnp.exp(logits - m) * l_inv  # [BQ, BKblk]
         # dV += P^T dO
         dv = dv + jax.lax.dot_general(
             p, do_, (((0,), (0,)), ((), ())),
@@ -197,10 +213,12 @@ def _bwd_kv_kernel(
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def flash_bwd(q, k, v, bias, o, lse, do, interpret: bool = False):
+def flash_bwd(q, k, v, bias, o, m, l, do, interpret: bool = False):
     """Backward for shared-bias attention.  Returns (dq, dk, dv, dbias).
 
-    q/k/v/o/do: [B, H, S, D]; bias: [H, S_q, S_k]; lse: [B, H, S_q].
+    q/k/v/o/do: [B, H, S, D]; bias: [H, S_q, S_k]; m/l: [B, H, S_q] — the
+    softmax row max and normalizer from flash_fwd_lse (kept separate so
+    the probability recompute survives -1e9 mask biases).
     """
     n_batch, h, s_q, d = q.shape
     s_k = k.shape[-2]
@@ -208,7 +226,8 @@ def flash_bwd(q, k, v, bias, o, lse, do, interpret: bool = False):
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )  # [B, H, S_q, 1]
-    lse4 = lse[..., None].astype(jnp.float32)
+    m4 = m[..., None].astype(jnp.float32)
+    l4 = l[..., None].astype(jnp.float32)
 
     kernel_q = functools.partial(
         _bwd_q_kernel, scale=scale, s_k=s_k, n_batch=n_batch
@@ -231,6 +250,8 @@ def flash_bwd(q, k, v, bias, o, lse, do, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BQ, 1), lambda hh, i, b: (b, hh, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BQ, 1), lambda hh, i, b: (b, hh, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, BQ, d), lambda hh, i, b: (b, hh, i, 0),
@@ -244,7 +265,7 @@ def flash_bwd(q, k, v, bias, o, lse, do, interpret: bool = False):
             jax.ShapeDtypeStruct((h, s_q, s_k), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, bias, do, lse4, delta)
+    )(q, k, v, bias, do, m4, l4, delta)
 
     kernel_kv = functools.partial(_bwd_kv_kernel, scale=scale, s_q=s_q)
     dk, dv = pl.pallas_call(
@@ -265,6 +286,8 @@ def flash_bwd(q, k, v, bias, o, lse, do, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s_q, 1), lambda b, hh, j: (b, hh, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_q, 1), lambda b, hh, j: (b, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, BK, d), lambda b, hh, j: (b, hh, j, 0),
@@ -277,5 +300,5 @@ def flash_bwd(q, k, v, bias, o, lse, do, interpret: bool = False):
             jax.ShapeDtypeStruct((n_batch, h, s_k, d), q.dtype),
         ],
         interpret=interpret,
-    )(q, k, v, bias, do, lse4, delta)
+    )(q, k, v, bias, do, m4, l4, delta)
     return dq, dk, dv, dbias

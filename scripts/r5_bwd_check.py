@@ -32,8 +32,8 @@ for s in (896, 1024, 1792, 1920, 2048):
 
         @jax.jit
         def fused(q, k, v, bias, do):
-            o, lse = flash_fwd_lse(q, k, v, bias)
-            return o, flash_bwd(q, k, v, bias, o, lse, do)
+            o, m, l = flash_fwd_lse(q, k, v, bias)
+            return o, flash_bwd(q, k, v, bias, o, m, l, do)
 
         o_p, grads = fused(q, k, v, bias, do)
         err_o = float(jnp.abs(o_p.astype(jnp.float32) - o_ref.astype(jnp.float32)).max())

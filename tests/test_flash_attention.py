@@ -129,11 +129,11 @@ def test_pallas_backward_matches_vjp_interpret():
     bias = jax.random.normal(ks[3], (h, s, s), jnp.float32)
     do = jax.random.normal(ks[4], (b, h, s, d), jnp.float32)
 
-    o, lse = flash_fwd_lse(q, k, v, bias, interpret=True)
+    o, m, l = flash_fwd_lse(q, k, v, bias, interpret=True)
     ref = sdpa_xla(q, k, v, bias[None])
     assert np.abs(np.asarray(o - ref)).max() < 2e-5
 
-    dq, dk, dv, db = flash_bwd(q, k, v, bias, o, lse, do, interpret=True)
+    dq, dk, dv, db = flash_bwd(q, k, v, bias, o, m, l, do, interpret=True)
     _, vjp = jax.vjp(lambda a, b_, c, d_: sdpa_xla(a, b_, c, d_[None]), q, k, v, bias)
     rq, rk, rv, rb = vjp(do)
     for name, a, r in [("dq", dq, rq), ("dk", dk, rk), ("dv", dv, rv), ("dbias", db, rb)]:
@@ -162,3 +162,35 @@ def test_folded_v3_stacked_heads_matches_xla_interpret():
     ).reshape(b, s, hd)
     got = flash_sdpa_folded_v3(q, k, v, bias, h, interpret=True, bq=128, group=2)
     assert np.abs(np.asarray(got - ref)).max() < 2e-5
+
+
+def test_pallas_backward_masked_rows_interpret():
+    """Regression: fully-masked query rows (padding atoms, -1e9 bias) must
+    not blow up the fused backward.  The old backward recomputed
+    p = exp(logits - lse) with lse = m + log(l) fused in one fp32; at
+    m = -1e9 the log(l) term is below ulp(1e9) = 64, the cancellation
+    loses it, and p came out ~1 instead of 1/l — gradients 10-60x too
+    big wherever padding existed, which silently poisoned every training
+    step at padded atom buckets (round-5 256/2048 plateau)."""
+    from physdock_tpu.ops.flash_attention_bwd import flash_bwd, flash_fwd_lse
+
+    b, h, s, d = 2, 2, 256, 32
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    bias = 0.5 * jax.random.normal(ks[3], (h, s, s), jnp.float32)
+    pad = np.zeros((s,), np.float32)
+    pad[-8:] = 1.0  # last 8 positions are padding
+    bias = bias - 1e9 * pad[None, None, :]  # masked keys
+    bias = bias - 1e9 * pad[None, :, None]  # masked query rows (fully)
+    do = jax.random.normal(ks[4], (b, h, s, d), jnp.float32)
+
+    o, m, l = flash_fwd_lse(q, k, v, bias, interpret=True)
+    dq, dk, dv, db = flash_bwd(q, k, v, bias, o, m, l, do, interpret=True)
+    _, vjp = jax.vjp(
+        lambda a, b_, c, d_: sdpa_xla(a, b_, c, d_[None]), q, k, v, bias
+    )
+    for name, a, r in zip(("dq", "dk", "dv", "dbias"), (dq, dk, dv, db), vjp(do)):
+        err = np.abs(np.asarray(a) - np.asarray(r)).max()
+        assert err < 5e-4, (name, err)
