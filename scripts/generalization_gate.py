@@ -67,9 +67,9 @@ def _mutate_sequence(rng, template: str) -> str:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--n_train", type=int, default=16)
+    p.add_argument("--n_train", type=int, default=12)
     p.add_argument("--n_held", type=int, default=4)
-    p.add_argument("--steps", type=int, default=6000)
+    p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--model", default="toy")
@@ -82,8 +82,8 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dock_steps", type=int, default=40)
-    p.add_argument("--dock_rounds", type=int, default=2)
-    p.add_argument("--dock_poses", type=int, default=20)
+    p.add_argument("--dock_rounds", type=int, default=1)
+    p.add_argument("--dock_poses", type=int, default=10)
     p.add_argument("--deadline_ts", type=float, default=0.0)
     args = p.parse_args()
 
