@@ -8,10 +8,14 @@ through the full conditioning + sampler at bf16 compute vs fp32 compute
 on the chip and reports per-pose coordinate / ligand-RMSD deltas — the
 number that says whether bf16 carries are safe end-to-end.
 
-Usage: python scripts/bf16_drift_tpu.py [CKPT_DIR]
-(defaults to the overfit gate's latest checkpoint)
+Usage: python scripts/bf16_drift_tpu.py [CKPT_DIR_OR_NPZ]
+           [--model toy] [--crop 128] [--atom_crop 1024]
+(defaults to the overfit gate's latest checkpoint; pass --model medium
+--crop 256 --atom_crop 2048 with the flagship npz to close VERDICT r4
+weak #7 — 48-block-trunk drift at the flagship crop)
 """
 
+import argparse
 import os
 import sys
 
@@ -37,19 +41,33 @@ def main():
     from physdock_tpu.model.physdock import PhysDock
     from physdock_tpu.train import checkpoint as ckpt_lib
 
-    ckpt = sys.argv[1] if len(sys.argv) > 1 else ckpt_lib.latest_checkpoint(
-        "/root/repo/_overfit/ckpts"
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt", nargs="?", default=None)
+    p.add_argument("--model", default="toy")
+    p.add_argument("--crop", type=int, default=128)
+    p.add_argument("--atom_crop", type=int, default=1024)
+    p.add_argument(
+        "--num_sample", type=int, default=0,
+        help="poses per pass (0 = auto: 8 for toy, 4 for larger configs "
+        "whose fp32 reference pass is HBM-bound at the flagship crop)",
     )
+    args = p.parse_args()
+    if args.num_sample <= 0:
+        args.num_sample = 8 if args.model == "toy" else 4
+
+    ckpt = args.ckpt or ckpt_lib.latest_checkpoint("/root/repo/_overfit/ckpts")
     assert ckpt, "no checkpoint available"
-    restored = ckpt_lib.restore_train_state(ckpt)
-    params = restored["ema_params"]
+    if ckpt.endswith(".npz"):
+        params = ckpt_lib.load_params_npz(ckpt)
+    else:
+        params = ckpt_lib.restore_train_state(ckpt)["ema_params"]
     print(f"params from {ckpt}", flush=True)
 
     results = {}
     for bf16 in (False, True):
         cfg = PhysDockConfig.named(
-            "toy", crop_size=128, atom_crop_size=1024, bf16=bf16,
-            infer_use_pocket=True, infer_use_key_res=True,
+            args.model, crop_size=args.crop, atom_crop_size=args.atom_crop,
+            bf16=bf16, infer_use_pocket=True, infer_use_key_res=True,
         )
         worker = FeaturizerWorker(
             cfg.data,
@@ -70,8 +88,8 @@ def main():
         @jax.jit
         def run(params, batch, key):
             return sample_diffusion(
-                model, params, batch, key, num_sample=8, steps=40,
-                karras_rho=1000.0,
+                model, params, batch, key, num_sample=args.num_sample,
+                steps=40, karras_rho=1000.0,
             )
 
         x = np.asarray(
@@ -103,6 +121,9 @@ def main():
         json.dump(
             {
                 "ckpt": ckpt,
+                "model": args.model,
+                "crop": args.crop,
+                "atom_crop": args.atom_crop,
                 "coord_abs_delta_mean_A": float(coord.mean()),
                 "coord_abs_delta_p99_A": float(np.percentile(coord, 99)),
                 "coord_abs_delta_max_A": float(coord.max()),

@@ -65,6 +65,12 @@ def main():
     p.add_argument("--dock_steps", type=int, default=40)
     p.add_argument("--dock_poses", type=int, default=20)
     p.add_argument("--gate_out", default="/root/repo/CONFIDENCE_GATE.json")
+    p.add_argument(
+        "--deadline_ts", type=float, default=0.0,
+        help="unix time; stop head TRAINING here and proceed to the dock + "
+        "decoy-ladder gate (0 = no deadline), so a time-boxed TPU window "
+        "always emits the gate artifact",
+    )
     args = p.parse_args()
 
     import jax
@@ -201,6 +207,13 @@ def main():
     t0 = time.time()
     logs = {}
     for step_i in range(args.steps):
+        if args.deadline_ts and time.time() >= args.deadline_ts:
+            print(
+                f"deadline hit at step {step_i}/{args.steps}; "
+                "proceeding to dock + gate",
+                flush=True,
+            )
+            break
         members = group_idx[step_i % len(group_idx)]
         batch = {
             k: jnp.asarray(np.stack([feats_list[i][k] for i in members]))
