@@ -8,6 +8,10 @@ for side chains), ligand internal geometry is restored by its force field,
 and receptor-ligand clashes are pushed apart.  Also provides
 PoseBusters-style validity checks (`check_pose`) replacing
 relaxation.get_bust_results (reference: data/relaxation.py:29-50).
+
+Neither replacement has been cross-run against the real OpenMM/PoseBusters
+packages (unavailable offline); the check-by-check divergence surface is
+documented in docs/RELAX_POSEBUSTERS_DIVERGENCE.md.
 """
 
 from __future__ import annotations
