@@ -113,15 +113,11 @@ class DockingPipeline:
             from physdock_tpu.parallel.tp import enable_tp
 
             enable_tp(make_mesh(dp=1, tp=self.s.tp))
-        self._jit_cond = jax.jit(
-            lambda p, b: self.model.apply(p, b, method="conditioning")
-        )
         # jit wrappers are CACHED on the pipeline — rebuilding them per dock
         # call would discard XLA's compile cache and recompile every system
         self._jit_sample = None
         self._jit_sample_batched = None
         self._jit_conf = None
-        self._jit_cond_batched = None
 
     # ----------------------------------------------------------- featurize
 
@@ -161,6 +157,18 @@ class DockingPipeline:
             params, batch, key, conditioning, guidance, factor, num_sample,
             use_bank,
         ):
+            # conditioning=None fuses the trunk into the SAME device program
+            # as the sampler: one dispatch per round instead of two.  On the
+            # tunneled single-core host each jit call pays pytree-arg
+            # processing over the ~40-leaf batch dict plus a ~25 ms dispatch
+            # round-trip, which the r4 stage profile showed dominating the
+            # sampler-vs-e2e MFU gap.  (None vs tuple = two compiles; both
+            # are cached.)  The computed conditioning is returned device-
+            # resident for reuse (confidence scoring, MSA-static rounds).
+            if conditioning is None:
+                conditioning = self.model.apply(
+                    params, batch, method="conditioning"
+                )
             x = sample_diffusion(
                 self.model,
                 params,
@@ -186,7 +194,7 @@ class DockingPipeline:
                 ok = chirality_correct(lig, guidance.ff)
             else:
                 ok = jnp.ones((num_sample,), bool)
-            return x, ok
+            return x, ok, conditioning
 
         self._jit_sample = fn
         return fn
@@ -547,18 +555,23 @@ class DockingPipeline:
             timings["load_detail"] = meta.pop("_recv_detail")
         rounds_run = 0
         x = None
+        conditioning = None
         for rnd in range(s.max_rounds if guided else 1):
             rounds_run += 1
             key, k_round = jax.random.split(key)
             if batch_msa_feat is not None:
                 # MSA clusters resampled per round (redocking.py:187-188);
-                # same shape every round -> single compile
+                # same shape every round -> single compile.  Conditioning
+                # must be recomputed, so pass None and let the sampler
+                # program fuse the trunk (one dispatch per round).
                 c = batch_msa_feat[rnd % len(batch_msa_feat)]
                 if not isinstance(c, dict):
                     c = compact_msa_np(c)
                 batch["msa_tok_c"] = jnp.asarray(c["msa_tok_c"])
                 batch["msa_del_c"] = jnp.asarray(c["msa_del_c"])
-            conditioning = self._jit_cond(self.params, batch)
+                conditioning = None
+            # else: MSA static across rounds -> reuse the device-resident
+            # conditioning returned by the previous round's fused call
             # round 0: unguided at high sigma (align_ref_pos=recycle_id>0,
             # redocking.py:290); FF relaxation at low sigma stays on.
             bank = protocol.bank(rnd) if guided else None
@@ -573,7 +586,7 @@ class DockingPipeline:
                 use_bank = True
             else:
                 g, use_bank = guidance, False
-            x, ok = sample_fn(
+            x, ok, conditioning = sample_fn(
                 self.params,
                 batch,
                 k_round,
@@ -831,6 +844,13 @@ class DockingPipeline:
             use_bank,
         ):
             def one(batch, key, cond, g, factor):
+                # cond=None fuses the vmapped trunk into the same device
+                # program as the sampler (see _sample_fn); the computed
+                # conditioning is returned for MSA-static round reuse
+                if cond is None:
+                    cond = self.model.apply(
+                        params, batch, method="conditioning"
+                    )
                 x = sample_diffusion(
                     self.model,
                     params,
@@ -854,7 +874,7 @@ class DockingPipeline:
                     ok = chirality_correct(lig, g.ff)
                 else:
                     ok = jnp.ones((num_sample,), bool)
-                return x, ok
+                return x, ok, cond
 
             return jax.vmap(one)(batches, keys, conds, guidances, factors)
 
@@ -1025,18 +1045,13 @@ class DockingPipeline:
         else:
             g_stacked, protocols = None, None
 
-        if self._jit_cond_batched is None:
-            self._jit_cond_batched = jax.jit(
-                lambda p, bs: jax.vmap(
-                    lambda b: self.model.apply(p, b, method="conditioning")
-                )(bs)
-            )
-        cond_fn = self._jit_cond_batched
         sample_fn = self._sample_fn_batched()
         key = jax.random.PRNGKey(s.seed)
         t_feat = time.time() - t_start
         rounds_run = 0
         x = None
+        conds = None
+        msa_resampled = any(bm is not None for bm in batch_msa)
         for rnd in range(s.max_rounds if guided else 1):
             rounds_run += 1
             key, k_round = jax.random.split(key)
@@ -1052,7 +1067,10 @@ class DockingPipeline:
                     stacked["msa_del_c"] = (
                         stacked["msa_del_c"].at[b].set(c["msa_del_c"])
                     )
-            conds = cond_fn(self.params, stacked)
+            if msa_resampled:
+                # MSA resampled -> trunk must recompute; fuse it into the
+                # sampler program (one dispatch) by passing conds=None
+                conds = None
             if guided:
                 banks = [p.bank(rnd) for p in protocols]
             else:
@@ -1078,7 +1096,7 @@ class DockingPipeline:
                 use_bank = True
             else:
                 g_round, use_bank = g_stacked, False
-            x, ok = sample_fn(
+            x, ok, conds = sample_fn(
                 self.params,
                 stacked,
                 keys,
