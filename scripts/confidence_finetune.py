@@ -52,6 +52,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=800)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument(
+        "--alpha_pae", type=float, default=1.0,
+        help="PAE loss weight (reference tasks/unicore_train/train.sh:109 "
+        "sets --alpha-pae 1 for the mini-rollout recipe; the release "
+        "LossConfig default of 0.0 gives the PAE head EXACTLY ZERO "
+        "gradient, which left ipTM/ranking_confidence constant at the "
+        "untrained value through every prior confidence gate)",
+    )
     p.add_argument("--crop", type=int, default=128)
     p.add_argument("--atom_crop", type=int, default=1024)
     p.add_argument("--aug", type=int, default=8)
@@ -95,6 +103,8 @@ def main():
     from physdock_tpu.train.optim import make_optimizer
     from physdock_tpu.train.step import init_train_state, make_train_step
 
+    import dataclasses
+
     cfg = PhysDockConfig.named(
         args.model,
         crop_size=args.crop,
@@ -104,6 +114,10 @@ def main():
         infer_use_key_res=True,
         num_augmentation_sample=args.aug,
     )
+    cfg = cfg.replace(loss=dataclasses.replace(cfg.loss, alpha_pae=args.alpha_pae))
+    # ipTM/pTM/ranking_confidence are all PAE-derived (infer/metrics.py:109)
+    # — a zero PAE weight makes the whole gate meaningless.
+    assert cfg.loss.alpha_pae > 0, "confidence gate requires alpha_pae > 0"
     model = PhysDock(
         cfg=cfg.model, dtype=cfg.dtypes.compute_dtype, with_confidence=True
     )
@@ -206,6 +220,7 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     logs = {}
+    steps_done = 0
     for step_i in range(args.steps):
         if args.deadline_ts and time.time() >= args.deadline_ts:
             print(
@@ -222,6 +237,7 @@ def main():
         key, k_step = jax.random.split(key)
         train_step = schedule[step_i % len(schedule)]
         state, logs = train_step(state, batch, k_step)
+        steps_done = step_i + 1
         if (step_i + 1) % 25 == 0:
             msg = {
                 k: round(float(v), 4)
@@ -422,7 +438,8 @@ def main():
         "pass": ok,
         "pass_ladder_spearman": ok_ladder,
         "pass_conf_vs_kmeans_top1": ok_conf_rank,
-        "steps": args.steps,
+        "steps": steps_done,
+        "steps_requested": args.steps,
         "rollouts": rollouts,
         "corrupt_pose_mix": 0.5,
         "final_logs": {k: round(float(v), 4) for k, v in logs.items()},

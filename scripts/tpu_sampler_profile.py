@@ -183,8 +183,10 @@ def main():
         batch["ref_pos"], (params,), REPS,
     )
     times["bias_cache"] = timeit_looped(
-        lambda c, p: model.apply(p, batch, ap, c, method="denoise_bias_cache"),
-        z, (params,), REPS,
+        # `ap` must ride as a jit argument: closed over, it bakes into the
+        # compile payload and the tunnel rejects it (HTTP 413).
+        lambda c, p, ap_: model.apply(p, batch, ap_, c, method="denoise_bias_cache"),
+        z, (params, ap), REPS,
     )
     times["denoise_full"] = timeit_looped(
         lambda c, p, a_, ap_, s_, z_, bc_: model.apply(

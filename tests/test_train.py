@@ -293,6 +293,13 @@ def test_mini_rollout_confidence_training(toy_config):
     params = model.init(
         jax.random.PRNGKey(0), micro, jax.random.PRNGKey(1), method="init_all"
     )
+    # numpy snapshot BEFORE the step donates (and deletes) the init buffers
+    heads0 = {
+        head: jax.tree.map(
+            np.asarray, params["params"]["confidence_module"][head]
+        )
+        for head in ("linear_pae", "linear_pde", "linear_plddt")
+    }
     state = init_train_state(params, optimizer)
     step = make_train_step(
         model, optimizer, loss_cfg, mesh,
@@ -311,6 +318,22 @@ def test_mini_rollout_confidence_training(toy_config):
         assert np.isfinite(last_logs[name]), (name, last_logs)
         # same batch + same key: confidence losses must go down
         assert last_logs[name] < first_logs[name], (name, first_logs, last_logs)
+
+    # Every confidence head must actually RECEIVE gradient: with
+    # alpha_pae=0 (the release LossConfig default) the PAE head trains to
+    # nothing and ipTM/ranking_confidence stays constant at the untrained
+    # value — exactly how the r3/r4 confidence gates shipped broken.  A
+    # moved kernel AND a moved (zero-init) bias pin grad connectivity
+    # through loss -> head -> optimizer masking.
+    for head in ("linear_pae", "linear_pde", "linear_plddt"):
+        h0 = heads0[head]
+        h1 = state.params["params"]["confidence_module"][head]
+        assert not np.allclose(
+            np.asarray(h0["weight"]), np.asarray(h1["weight"])
+        ), f"{head} kernel never trained (zero gradient path)"
+        assert float(np.abs(np.asarray(h1["bias"])).max()) > 0, (
+            f"{head} bias still exactly zero after training"
+        )
 
     # ranking-confidence consumes the trained head outputs end to end
     # (jitted: eager apply floods the XLA CPU compile cache and has
